@@ -1,0 +1,46 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh so sharding
+and collectives are exercised without TPU hardware."""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import functools
+
+import pytest
+
+
+@functools.lru_cache(maxsize=16)
+def _load_cached(path):
+    from blingfire_tpu.models.loader import load_model
+
+    return load_model(path)
+
+
+@pytest.fixture(scope="session")
+def gpt2_model():
+    return _load_cached("/root/reference/ldbsrc/ldb/gpt2.bin")
+
+
+@pytest.fixture(scope="session")
+def roberta_model():
+    return _load_cached("/root/reference/ldbsrc/ldb/roberta.bin")
+
+
+@pytest.fixture(scope="session")
+def xlnet_model():
+    return _load_cached("/root/reference/ldbsrc/ldb/xlnet.bin")
+
+
+@pytest.fixture(scope="session")
+def laser100k_model():
+    return _load_cached("/root/reference/ldbsrc/ldb/laser100k.bin")
