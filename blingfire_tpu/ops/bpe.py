@@ -1,0 +1,344 @@
+"""Vectorized (byte-)BPE segmentation for TPU.
+
+Reformulates the reference's sequential per-string algorithm
+(FATokenSegmentationTools_1best_bpe_t.h:125-316 and
+…_bpe_with_merges_t.h:150-316) as batched tensor ops:
+
+  1. WALK     — every input position advances through the vocabulary Mealy
+                automaton in lockstep (one comb-table gather step per depth),
+                recording up to K1 matches per start position.
+  2. FILTER   — the "bpe-opt" whole-token optimisation, fast-forward skips
+                and unknown-run merging, reproduced with closed-form masks +
+                one O(N) scan (visited positions).
+  3. SORT     — arcs ordered by (merge-rank desc,) id asc, start asc with a
+                single multi-key lexicographic sort per document.
+  4. CLAIM    — the greedy non-overlap resolution as a scan over sorted arcs
+                with a per-document *bitmask* carry (32 positions per lane),
+                O(1) work per arc per document.
+  5. EMIT     — claimed arcs scattered to their start position and compacted.
+
+Everything is fixed-shape and jit-compatible; thousands of documents are
+processed per call.  Documents that exceed the static match/arc budgets are
+flagged for the host fallback path (exactly reproducing reference semantics
+there too).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.tables import CombTable
+
+INT32_MAX = np.int32(2**31 - 1)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BpeDeviceTables:
+    """Device-resident model tables for the BPE kernel (all jnp arrays)."""
+
+    base: jax.Array  # int32[n_states]
+    owner: jax.Array  # int32[slots]
+    nxt: jax.Array  # int32[slots]
+    ow: jax.Array  # int32[slots]
+    final: jax.Array  # bool[n_states]
+    ids_tab: jax.Array  # int32[nkeys]
+    ranks_tab: jax.Array  # float32[nkeys]
+    n_slots: int = field(metadata=dict(static=True))
+    max_len: int = field(metadata=dict(static=True))  # walk depth bound
+    with_merges: bool = field(metadata=dict(static=True))
+    fast: bool = field(metadata=dict(static=True))
+    id_offset: int = field(metadata=dict(static=True))
+
+
+def make_device_tables(
+    table: CombTable,
+    ids: np.ndarray,
+    ranks: np.ndarray,
+    max_len: int,
+    with_merges: bool,
+    fast: bool,
+    id_offset: int,
+) -> BpeDeviceTables:
+    return BpeDeviceTables(
+        base=jnp.asarray(table.base, jnp.int32),
+        owner=jnp.asarray(table.owner, jnp.int32),
+        nxt=jnp.asarray(table.nxt, jnp.int32),
+        ow=jnp.asarray(table.ow, jnp.int32),
+        final=jnp.asarray(table.final),
+        ids_tab=jnp.asarray(ids, jnp.int32),
+        ranks_tab=jnp.asarray(ranks, jnp.float32),
+        n_slots=table.n_slots,
+        max_len=max_len,
+        with_merges=with_merges,
+        fast=fast,
+        id_offset=id_offset,
+    )
+
+
+def _float_desc_key(r: jax.Array) -> jax.Array:
+    """Map float32 to int32 so ascending int order == descending float order."""
+    bits = jax.lax.bitcast_convert_type(r, jnp.int32)
+    asc = jnp.where(bits < 0, jnp.int32(~bits), bits ^ jnp.int32(-0x80000000))
+    return ~asc  # descending
+
+
+K1 = 8  # match slots per start position
+
+
+@functools.partial(jax.jit, static_argnames=("a_max",))
+def bpe_segment(
+    tables: BpeDeviceTables,
+    x_iw: jax.Array,  # int32 (B, N) dense input weights, -1 = no-transition
+    is_spm: jax.Array,  # bool (B, N) raw symbol == U+2581
+    lengths: jax.Array,  # int32 (B,)
+    unk_id: jax.Array,  # int32 scalar
+    a_max: int,
+):
+    """Returns (ids, starts, ends, counts, fallback) — see module docstring."""
+    B, N = x_iw.shape
+    L = tables.max_len
+    pos = jnp.arange(N, dtype=jnp.int32)
+    valid = pos[None, :] < lengths[:, None]  # (B, N)
+
+    # padded symbol / delimiter-or-end lookups for depth-shifted access
+    x_pad = jnp.pad(x_iw, ((0, 0), (0, L + 1)), constant_values=-1)
+    posl = jnp.arange(N + L + 1, dtype=jnp.int32)
+    spm_or_end = jnp.pad(is_spm, ((0, 0), (0, L + 1))) | (
+        posl[None, :] >= lengths[:, None]
+    )
+
+    nkeys = tables.ids_tab.shape[0]
+
+    # ------------------------------------------------------------------ WALK
+    def walk_cond(st):
+        d, state, *_ = st
+        return (d < L) & jnp.any(state >= 0)
+
+    def walk_body(st):
+        (d, state, sum_ow, count, m_end, m_id, m_rank, m_whole, overflow) = st
+        c = jax.lax.dynamic_slice(x_pad, (0, d), (B, N))
+        s_safe = jnp.maximum(state, 0)
+        c_safe = jnp.maximum(c, 0)
+        slot = jnp.clip(tables.base[s_safe] + c_safe, 0, tables.n_slots - 1)
+        hit = (tables.owner[slot] == state) & (state >= 0) & (c >= 0)
+        ns = jnp.where(hit, tables.nxt[slot], -1)
+        sum_ow = sum_ow + jnp.where(hit, tables.ow[slot], 0)
+        fin = (ns >= 0) & tables.final[jnp.maximum(ns, 0)]
+
+        key = jnp.clip(sum_ow, 0, nkeys - 1)
+        mid = tables.ids_tab[key]
+        mrank = tables.ranks_tab[key]
+        nxt_spm = jax.lax.dynamic_slice(spm_or_end, (0, d + 1), (B, N))
+
+        onehot = (count[..., None] == jnp.arange(K1)[None, None, :]) & fin[..., None]
+        end_val = pos[None, :] + d  # match end position
+        m_end = jnp.where(onehot, end_val[..., None], m_end)
+        m_id = jnp.where(onehot, mid[..., None], m_id)
+        m_rank = jnp.where(onehot, mrank[..., None], m_rank)
+        m_whole = jnp.where(onehot, nxt_spm[..., None], m_whole)
+        overflow = overflow | (fin & (count >= K1))
+        count = count + fin.astype(jnp.int32)
+        return (d + 1, ns, sum_ow, count, m_end, m_id, m_rank, m_whole, overflow)
+
+    init_state = jnp.where(valid & (x_iw >= 0), 0, -1).astype(jnp.int32)
+    # NOTE: initial state id is 0 by construction (densify_automaton)
+    st0 = (
+        jnp.int32(0),
+        init_state,
+        jnp.zeros((B, N), jnp.int32),
+        jnp.zeros((B, N), jnp.int32),
+        jnp.zeros((B, N, K1), jnp.int32),
+        jnp.full((B, N, K1), -1, jnp.int32),
+        jnp.zeros((B, N, K1), jnp.float32),
+        jnp.zeros((B, N, K1), bool),
+        jnp.zeros((B, N), bool),
+    )
+    (_, _, _, count, m_end, m_id, m_rank, m_whole, slot_overflow) = (
+        jax.lax.while_loop(walk_cond, walk_body, st0)
+    )
+
+    # ---------------------------------------------------------------- FILTER
+    karange = jnp.arange(K1)[None, None, :]
+    valid_slot = karange < count[..., None]
+    has = count > 0
+
+    if tables.fast:
+        # whole-token optimisation fires for slot k when the start is a ▁,
+        # the match ends right before a ▁/EOS, and an earlier match exists
+        # (…_bpe_t.h:189-206)
+        fired = m_whole & is_spm[..., None] & (karange >= 1) & valid_slot
+        dlast = jnp.max(jnp.where(fired, karange, -1), axis=-1)  # (B, N)
+        ff = jnp.where(
+            dlast >= 0,
+            jnp.take_along_axis(m_end, jnp.maximum(dlast, 0)[..., None], axis=-1)[
+                ..., 0
+            ],
+            pos[None, :],
+        )
+        survive = valid_slot & (karange >= dlast[..., None])
+    else:
+        ff = jnp.broadcast_to(pos[None, :], (B, N))
+        survive = valid_slot
+
+    # visited start positions under sequential fast-forwarding
+    def visit_step(nv, inp):
+        p, ffp = inp
+        vis = nv == p
+        nv = jnp.where(vis, jnp.maximum(ffp, p) + 1, nv)
+        return nv, vis
+
+    _, visited_t = jax.lax.scan(
+        visit_step, jnp.zeros(B, jnp.int32), (pos, ff.T)
+    )
+    visited = visited_t.T & valid  # (B, N)
+
+    survive = survive & visited[..., None]
+
+    # unknown runs: consecutive visited positions with no match
+    unk = visited & ~has
+    prev_unk = jnp.pad(unk[:, :-1], ((0, 0), (1, 0)))
+    next_unk = jnp.pad(unk[:, 1:], ((0, 0), (0, 1)))
+    run_start = unk & ~prev_unk
+    run_endpt = unk & ~next_unk
+    # run end for each run-start position: reverse cumulative min of endpoint
+    # positions (every position between start and endpoint is unk)
+    endpos = jnp.where(run_endpt, pos[None, :], INT32_MAX)
+    run_end = jnp.flip(
+        jax.lax.cummin(jnp.flip(endpos, axis=1), axis=1), axis=1
+    )
+
+    # ------------------------------------------------------------------ SORT
+    # real arc slots (B, N*K1) + unknown arc slots (B, N)
+    r_start = jnp.broadcast_to(pos[None, :, None], (B, N, K1)).reshape(B, N * K1)
+    r_end = m_end.reshape(B, N * K1)
+    r_id = m_id.reshape(B, N * K1)
+    r_rank = m_rank.reshape(B, N * K1)
+    r_valid = survive.reshape(B, N * K1)
+
+    u_start = jnp.broadcast_to(pos[None, :], (B, N))
+    u_end = jnp.minimum(run_end, N - 1)
+    u_id = jnp.broadcast_to(unk_id, (B, N)).astype(jnp.int32)
+    u_rank = jnp.zeros((B, N), jnp.float32)
+    u_valid = run_start
+
+    starts = jnp.concatenate([r_start, u_start], axis=1)
+    ends = jnp.concatenate([r_end, u_end], axis=1)
+    ids = jnp.concatenate([r_id, u_id], axis=1)
+    ranks = jnp.concatenate([r_rank, u_rank], axis=1)
+    avalid = jnp.concatenate([r_valid, u_valid], axis=1)
+
+    key_id = jnp.where(avalid, ids, INT32_MAX)
+    key_start = jnp.where(avalid, starts, INT32_MAX)
+    operands = [key_id, key_start, starts, ends, ids, avalid]
+    num_keys = 2
+    if tables.with_merges:
+        key_rank = jnp.where(avalid, _float_desc_key(ranks), INT32_MAX)
+        operands = [key_rank] + operands
+        num_keys = 3
+    sorted_ops = jax.lax.sort(operands, dimension=1, num_keys=num_keys)
+    s_start, s_end, s_id, s_valid = sorted_ops[-4:]
+
+    # arc budget check + truncation
+    n_arcs = jnp.sum(avalid, axis=1)
+    arc_overflow = n_arcs > a_max
+    s_start = s_start[:, :a_max]
+    s_end = s_end[:, :a_max]
+    s_id = s_id[:, :a_max]
+    s_valid = s_valid[:, :a_max]
+
+    # ----------------------------------------------------------------- CLAIM
+    W = (N + 1 + 31) // 32
+    warange = jnp.arange(W, dtype=jnp.int32)[None, :]  # (1, W)
+
+    def subm(nbits):  # (1 << nbits) - 1 with nbits in [0, 32]
+        nb = jnp.clip(nbits, 0, 32)
+        nb_sh = jnp.minimum(nb, 31).astype(jnp.uint32)
+        return jnp.where(
+            nb >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << nb_sh) - 1
+        )
+
+    def bit_at(mask, q):  # mask (B, W), q (B,) -> bool
+        word = jnp.take_along_axis(mask, (q // 32)[:, None], axis=1)[:, 0]
+        return ((word >> (q % 32).astype(jnp.uint32)) & 1) == 1
+
+    def claim_step(mask, inp):
+        st, en, vd = inp  # (B,) each
+        q1 = jnp.clip(st, 0, N)
+        q2 = jnp.clip(en + 1, 0, N)
+        free1 = ~bit_at(mask, q1)
+        free2 = (en + 1 >= lengths) | ~bit_at(mask, q2)
+        claim = vd & free1 & free2
+        lo = jnp.clip(st[:, None] + 1 - 32 * warange, 0, 32)
+        hi = jnp.clip(en[:, None] + 1 - 32 * warange, 0, 32)
+        bits = subm(hi) & ~subm(lo)
+        mask = jnp.where(claim[:, None], mask | bits, mask)
+        return mask, claim
+
+    _, claimed_t = jax.lax.scan(
+        claim_step,
+        jnp.zeros((B, W), jnp.uint32),
+        (s_start.T, s_end.T, s_valid.T),
+    )
+    claimed = claimed_t.T  # (B, a_max)
+
+    # ------------------------------------------------------------------ EMIT
+    # Claimed arcs write (tos, id) at their start; arcs claimed LATER in the
+    # claim order overwrite earlier ones at the same start (a larger arc can
+    # "swallow" earlier smaller claims — its interior claims become
+    # unreachable).  Then tokens are emitted by walking pos 0 -> tos+1 -> …
+    # (…_bpe_t.h:274-313).
+    keep = claimed & s_valid
+    # last-claim-wins per start: sort (start, claim_idx) and keep the row
+    # whose successor has a different start
+    idx = jnp.broadcast_to(jnp.arange(a_max, dtype=jnp.int32)[None, :], (B, a_max))
+    k_start = jnp.where(keep, s_start, INT32_MAX)
+    ss, si, s_end2, s_id2 = jax.lax.sort(
+        [k_start, idx, s_end, s_id], dimension=1, num_keys=2
+    )
+    nxt_start = jnp.concatenate(
+        [ss[:, 1:], jnp.full((B, 1), INT32_MAX, jnp.int32)], axis=1
+    )
+    is_last = (ss != nxt_start) & (ss != INT32_MAX)
+
+    flat_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, a_max))
+    flat_idx = jnp.where(is_last, flat_b * N + ss, B * N)
+    grid_id = (
+        jnp.full(B * N + 1, unk_id, jnp.int32).at[flat_idx.reshape(-1)]
+        .set(s_id2.reshape(-1), mode="drop")[: B * N]
+        .reshape(B, N)
+    )
+    grid_tos = (
+        jnp.zeros(B * N + 1, jnp.int32).at[flat_idx.reshape(-1)]
+        .set(s_end2.reshape(-1), mode="drop")[: B * N]
+        .reshape(B, N)
+    )
+
+    # the emission walk: emit at p iff the walk visits p
+    def emit_step(nv, inp):
+        p, tos_p = inp  # (B,) each
+        em = nv == p
+        nv = jnp.where(em, jnp.maximum(tos_p, p) + 1, nv)
+        return nv, em
+
+    _, emit_t = jax.lax.scan(
+        emit_step, jnp.zeros(B, jnp.int32), (pos, grid_tos.T)
+    )
+    tok_here = emit_t.T & valid
+    order = jnp.argsort(jnp.where(tok_here, pos[None, :], INT32_MAX), axis=1)
+    out_ids = jnp.take_along_axis(
+        jnp.where(tok_here, grid_id, 0), order, axis=1
+    ) + tables.id_offset
+    out_starts = jnp.take_along_axis(
+        jnp.broadcast_to(pos[None, :], (B, N)), order, axis=1
+    )
+    out_ends = jnp.take_along_axis(grid_tos, order, axis=1)
+    counts = jnp.sum(tok_here, axis=1).astype(jnp.int32)
+
+    fallback = jnp.any(slot_overflow & valid, axis=1) | arc_overflow
+    return out_ids, out_starts, out_ends, counts, fallback

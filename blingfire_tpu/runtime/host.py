@@ -1,0 +1,298 @@
+"""Host-side batching runtime: text prep, padding, device dispatch, fallback.
+
+The device kernels consume fixed-shape batches of *squeezed, alphabet-dense*
+symbol streams; everything byte-fiddly (UTF-8 handling, BOM, dummy prefix,
+whitespace squeeze, offset superposition) happens here, vectorized in NumPy
+(to be lowered to the native C++ loader).  Semantics mirror
+blingfiretokdll.cpp:1349-1535.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..formats.consts import SP_DELIMITER, TokAlgo
+from ..models.loader import Model, SegmenterModel
+from ..ops import bpe as bpe_ops
+from ..ops.tables import build_comb_table
+from .oracle import SpTokenizerOracle
+
+_WS_SMALL = None
+
+
+def _ws_table() -> np.ndarray:
+    """Dense whitespace-class table up to 0xFEFF (blingfiretokdll.h:16-21)."""
+    global _WS_SMALL
+    if _WS_SMALL is None:
+        t = np.zeros(0xFF00, bool)
+        t[: 0x21] = True
+        t[0xA0] = True
+        t[0x2000:0x2010] = True
+        t[0x202F] = True
+        t[0x205F] = True
+        t[0x2060] = True
+        t[0x2420] = True
+        t[0x2424] = True
+        t[0x3000] = True
+        t[0xFEFF] = True
+        _WS_SMALL = t
+    return _WS_SMALL
+
+
+def _is_ws(sym: np.ndarray) -> np.ndarray:
+    t = _ws_table()
+    small = sym < len(t)
+    return np.where(small, t[np.minimum(sym, len(t) - 1)], False)
+
+
+def decode_utf8(data: bytes) -> tuple[np.ndarray, np.ndarray] | None:
+    """Strict UTF-8 -> (codepoints, byte offsets), or None when invalid.
+
+    Vectorized equivalent of FAStrUtf8ToArray (FAUtf8Utils.cpp:199-288)."""
+    if data[:3] == b"\xef\xbb\xbf":
+        data = data[3:]
+        base = 3
+    else:
+        base = 0
+    b = np.frombuffer(data, np.uint8)
+    n = len(b)
+    if n == 0:
+        return np.empty(0, np.int32), np.empty(0, np.int32)
+    is_lead1 = b < 0x80
+    is_lead2 = (b & 0xE0) == 0xC0
+    is_lead3 = (b & 0xF0) == 0xE0
+    is_lead4 = (b & 0xF8) == 0xF0
+    is_cont = (b & 0xC0) == 0x80
+    lead = is_lead1 | is_lead2 | is_lead3 | is_lead4
+    if not (lead | is_cont).all():
+        return None
+    sizes = np.where(is_lead1, 1, np.where(is_lead2, 2, np.where(is_lead3, 3, 4)))
+    starts = np.flatnonzero(lead)
+    if len(starts) == 0 or starts[0] != 0:
+        return None
+    sz = sizes[starts]
+    if (starts + sz != np.append(starts[1:], n)).any():
+        return None
+    b32 = b.astype(np.int32)
+    cp = np.where(
+        is_lead1[starts],
+        b32[starts],
+        np.where(
+            is_lead2[starts],
+            b32[starts] & 0x1F,
+            np.where(is_lead3[starts], b32[starts] & 0x0F, b32[starts] & 0x07),
+        ),
+    )
+    for k in (1, 2, 3):
+        sel = sz > k
+        idx = np.minimum(starts + k, n - 1)
+        cp = np.where(sel, (cp << 6) | (b32[idx] & 0x3F), cp)
+    # shortest form + surrogate checks
+    minv = np.array([0, 0, 0x80, 0x800, 0x10000], np.int32)
+    if (cp < minv[sz]).any() or (cp > 0x10FFFF).any():
+        return None
+    if ((cp & 0xFFFFF800) == 0xD800).any():
+        return None
+    return cp, (starts + base).astype(np.int32)
+
+
+def _utf8_char_sizes(data: bytes) -> np.ndarray:
+    b = np.frombuffer(data, np.uint8)
+    return np.where(
+        b < 0x80,
+        1,
+        np.where(
+            (b & 0xE0) == 0xC0,
+            2,
+            np.where((b & 0xF0) == 0xE0, 3, np.where((b & 0xF8) == 0xF0, 4, 0)),
+        ),
+    ).astype(np.int32)
+
+
+@dataclass
+class PreparedDoc:
+    syms: np.ndarray  # int32 squeezed raw symbols
+    offs: np.ndarray  # int32 original byte offset per symbol (-1 = prefix)
+    ok: bool  # False => invalid input (API returns 0 tokens)
+
+
+def prepare_sp_doc(data: bytes, model: SegmenterModel) -> PreparedDoc:
+    """decode -> dummy prefix -> charmap normalize -> whitespace squeeze."""
+    empty = PreparedDoc(np.empty(0, np.int32), np.empty(0, np.int32), False)
+    if len(data) == 0:
+        return empty
+    if model.use_raw_bytes:
+        base = 3 if data[:3] == b"\xef\xbb\xbf" else 0
+        syms = np.frombuffer(data, np.uint8)[base:].astype(np.int32)
+        offs = np.arange(base, len(data), dtype=np.int32)
+    else:
+        dec = decode_utf8(data)
+        if dec is None:
+            return empty
+        syms, offs = dec
+    if len(syms) == 0 or len(syms) > len(data):
+        return empty
+    if not model.no_dummy_prefix:
+        syms = np.concatenate([np.array([SP_DELIMITER], np.int32), syms])
+        offs = np.concatenate([np.array([-1], np.int32), offs])
+
+    if model.charmap is not None:
+        cm = model.charmap
+        in_range = (syms >= cm.min_key) & (syms <= cm.max_key)
+        idx = np.where(in_range, syms - cm.min_key, 0)
+        counts = np.where(in_range, cm.counts[idx], -1)
+        # count > slot capacity => map Get fails => identity
+        # (FAMultiMap_pack_fixed.cpp:86-88 -> FANormalize identity branch);
+        # count == 0 or count > 10 => character dropped entirely
+        # (FAUtils_cl.h:324-363: no branch emits)
+        counts = np.where(counts > cm.values.shape[1], -1, counts)
+        reps = np.where(
+            counts == -1, 1, np.where((counts >= 1) & (counts <= 10), counts, 0)
+        )
+        total = int(reps.sum())
+        out = np.empty(total, np.int32)
+        out_off = np.repeat(offs, reps)
+        pos = np.cumsum(reps) - reps
+        ident = counts == -1
+        out[pos[ident]] = syms[ident]
+        multi = ~ident
+        if multi.any():
+            mpos = pos[multi]
+            mvals = cm.values[idx[multi]]
+            mreps = reps[multi]
+            for j in range(int(mreps.max()) if len(mreps) else 0):
+                sel = mreps > j
+                out[mpos[sel] + j] = mvals[sel, j]
+        syms, offs = out, out_off
+
+    # whitespace squeeze (blingfiretokdll.cpp:1462-1496)
+    ws = _is_ws(syms)
+    prev_ws = np.concatenate([[False], ws[:-1]])
+    prev_sym = np.concatenate([[np.int32(-1)], syms[:-1]])
+    emit = ~ws | ((~prev_ws) & (prev_sym != SP_DELIMITER))
+    if len(emit):
+        emit[0] = True
+    out = np.where(ws, SP_DELIMITER, syms)[emit]
+    offs = offs[emit]
+    if len(out) > 1 and out[-1] == SP_DELIMITER:
+        out = out[:-1]
+        offs = offs[:-1]
+    return PreparedDoc(out.astype(np.int32), offs.astype(np.int32), True)
+
+
+class BpeTokenizer:
+    """Batched TPU tokenizer for BPE-family [pos-dict] models."""
+
+    def __init__(self, model: Model, max_doc_symbols: int = 512, a_max: int | None = None):
+        assert model.seg is not None, "model has no [pos-dict] section"
+        seg = model.seg
+        assert seg.tok_algo in (
+            TokAlgo.BPE,
+            TokAlgo.BPE_OPT,
+            TokAlgo.BPE_OPT_WITH_MERGES,
+        )
+        self.model = model
+        self.seg = seg
+        self.comb = build_comb_table(seg.aut)
+        self.max_token_len = _max_token_len(seg.aut)
+        self.tables = bpe_ops.make_device_tables(
+            self.comb,
+            seg.i2info_ids,
+            seg.i2info_scores,
+            max_len=self.max_token_len,
+            with_merges=seg.tok_algo == TokAlgo.BPE_OPT_WITH_MERGES,
+            fast=seg.tok_algo in (TokAlgo.BPE_OPT, TokAlgo.BPE_OPT_WITH_MERGES),
+            id_offset=seg.id_offset,
+        )
+        self.n_doc = max_doc_symbols
+        self.a_max = a_max or max_doc_symbols * 2
+        self._oracle = SpTokenizerOracle(seg)
+        self._sym2iw = self.comb.sym2iw
+
+    def _prep_batch(self, docs: list[bytes]):
+        B = len(docs)
+        N = self.n_doc
+        x = np.full((B, N), -1, np.int32)
+        spm = np.zeros((B, N), bool)
+        lengths = np.zeros(B, np.int32)
+        offs: list[np.ndarray | None] = []
+        fallback = np.zeros(B, bool)
+        for i, d in enumerate(docs):
+            p = prepare_sp_doc(d, self.seg)
+            if not p.ok:
+                offs.append(None)
+                continue
+            if len(p.syms) > N:
+                fallback[i] = True
+                offs.append(None)
+                continue
+            n = len(p.syms)
+            s = p.syms
+            m = self._sym2iw
+            iw = np.where(s < len(m), m[np.minimum(s, len(m) - 1)], -1)
+            x[i, :n] = iw
+            spm[i, :n] = s == SP_DELIMITER
+            lengths[i] = n
+            offs.append(p.offs)
+        return x, spm, lengths, offs, fallback
+
+    def encode_batch(
+        self, docs: list[bytes | str], unk_id: int = 0
+    ) -> list[list[int]]:
+        docs_b = [d.encode("utf-8") if isinstance(d, str) else d for d in docs]
+        x, spm, lengths, _offs, pre_fb = self._prep_batch(docs_b)
+        import jax.numpy as jnp
+
+        ids, _starts, _ends, counts, dev_fb = bpe_ops.bpe_segment(
+            self.tables,
+            jnp.asarray(x),
+            jnp.asarray(spm),
+            jnp.asarray(lengths),
+            jnp.int32(unk_id),
+            self.a_max,
+        )
+        ids = np.asarray(ids)
+        counts = np.asarray(counts)
+        dev_fb = np.asarray(dev_fb)
+        out: list[list[int]] = []
+        for i, d in enumerate(docs_b):
+            if pre_fb[i] or dev_fb[i]:
+                out.append(self._oracle.text_to_ids(d, unk_id=unk_id))
+            elif lengths[i] == 0 and not len(d) == 0:
+                out.append(self._oracle.text_to_ids(d, unk_id=unk_id))
+            else:
+                out.append(ids[i, : counts[i]].tolist())
+        return out
+
+
+def _max_token_len(aut) -> int:
+    """Longest accepted string = longest path to a final state (DAG)."""
+    import collections
+
+    n = aut.n_states
+    dst = np.where(aut.edge_dst < 0, n, aut.edge_dst)
+    indeg = np.zeros(n + 1, np.int64)
+    np.add.at(indeg, dst, 1)
+    order = np.argsort(aut.edge_src, kind="stable")
+    src_s = aut.edge_src[order]
+    dst_s = dst[order]
+    row = np.searchsorted(src_s, np.arange(n + 2))
+    depth = np.zeros(n + 1, np.int64)
+    q = collections.deque([s for s in range(n + 1) if indeg[s] == 0])
+    visited = 0
+    while q:
+        s = q.popleft()
+        visited += 1
+        if s < n:
+            for ei in range(row[s], row[s + 1]):
+                d = dst_s[ei]
+                depth[d] = max(depth[d], depth[s] + 1)
+                indeg[d] -= 1
+                if indeg[d] == 0:
+                    q.append(d)
+    if visited != n + 1:
+        # cyclic automaton (not a finite vocab) — cap at the product limit
+        return 300
+    return int(depth.max())

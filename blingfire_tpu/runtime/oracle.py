@@ -140,10 +140,11 @@ def normalize(chars: list[int], charmap: CharMap) -> tuple[list[int], list[int]]
         if norm is None:
             out.append(c)
             offs.append(i)
-        else:
-            for v in norm[:10]:
+        elif 1 <= len(norm) <= 10:
+            for v in norm:
                 out.append(int(v))
                 offs.append(i)
+        # len 0 or > 10: character dropped (FAUtils_cl.h:324-363 emits nothing)
     return out, offs
 
 
