@@ -93,7 +93,7 @@ def decode_utf8(data: bytes) -> tuple[np.ndarray, np.ndarray] | None:
     minv = np.array([0, 0, 0x80, 0x800, 0x10000], np.int32)
     if (cp < minv[sz]).any() or (cp > 0x10FFFF).any():
         return None
-    if ((cp & 0xFFFFF800) == 0xD800).any():
+    if ((cp & np.int32(-2048)) == 0xD800).any():  # surrogate range mask 0xFFFFF800
         return None
     return cp, (starts + base).astype(np.int32)
 
@@ -182,30 +182,42 @@ def prepare_sp_doc(data: bytes, model: SegmenterModel) -> PreparedDoc:
     return PreparedDoc(out.astype(np.int32), offs.astype(np.int32), True)
 
 
-class BpeTokenizer:
-    """Batched TPU tokenizer for BPE-family [pos-dict] models."""
+class SpTokenizer:
+    """Batched TPU tokenizer for [pos-dict] ("sentence piece") models:
+    byte/char BPE, BPE-with-merges, and unigram LM."""
 
     def __init__(self, model: Model, max_doc_symbols: int = 512, a_max: int | None = None):
         assert model.seg is not None, "model has no [pos-dict] section"
         seg = model.seg
-        assert seg.tok_algo in (
-            TokAlgo.BPE,
-            TokAlgo.BPE_OPT,
-            TokAlgo.BPE_OPT_WITH_MERGES,
-        )
         self.model = model
         self.seg = seg
         self.comb = build_comb_table(seg.aut)
         self.max_token_len = _max_token_len(seg.aut)
-        self.tables = bpe_ops.make_device_tables(
-            self.comb,
-            seg.i2info_ids,
-            seg.i2info_scores,
-            max_len=self.max_token_len,
-            with_merges=seg.tok_algo == TokAlgo.BPE_OPT_WITH_MERGES,
-            fast=seg.tok_algo in (TokAlgo.BPE_OPT, TokAlgo.BPE_OPT_WITH_MERGES),
-            id_offset=seg.id_offset,
+        self.is_bpe = seg.tok_algo in (
+            TokAlgo.BPE,
+            TokAlgo.BPE_OPT,
+            TokAlgo.BPE_OPT_WITH_MERGES,
         )
+        if self.is_bpe:
+            self.tables = bpe_ops.make_device_tables(
+                self.comb,
+                seg.i2info_ids,
+                seg.i2info_scores,
+                max_len=self.max_token_len,
+                with_merges=seg.tok_algo == TokAlgo.BPE_OPT_WITH_MERGES,
+                fast=seg.tok_algo in (TokAlgo.BPE_OPT, TokAlgo.BPE_OPT_WITH_MERGES),
+                id_offset=seg.id_offset,
+            )
+        else:
+            from ..ops import unigram as uni_ops
+
+            self.tables = uni_ops.make_device_tables(
+                self.comb,
+                seg.i2info_ids,
+                seg.i2info_scores,
+                max_len=self.max_token_len,
+                id_offset=seg.id_offset,
+            )
         self.n_doc = max_doc_symbols
         self.a_max = a_max or max_doc_symbols * 2
         self._oracle = SpTokenizerOracle(seg)
@@ -245,26 +257,39 @@ class BpeTokenizer:
         x, spm, lengths, _offs, pre_fb = self._prep_batch(docs_b)
         import jax.numpy as jnp
 
-        ids, _starts, _ends, counts, dev_fb = bpe_ops.bpe_segment(
-            self.tables,
-            jnp.asarray(x),
-            jnp.asarray(spm),
-            jnp.asarray(lengths),
-            jnp.int32(unk_id),
-            self.a_max,
-        )
+        if self.is_bpe:
+            ids, _starts, _ends, counts, dev_fb = bpe_ops.bpe_segment(
+                self.tables,
+                jnp.asarray(x),
+                jnp.asarray(spm),
+                jnp.asarray(lengths),
+                jnp.int32(unk_id),
+                self.a_max,
+            )
+            dev_fb = np.asarray(dev_fb)
+        else:
+            from ..ops import unigram as uni_ops
+
+            ids, _starts, _ends, counts = uni_ops.unigram_segment(
+                self.tables, jnp.asarray(x), jnp.asarray(lengths), jnp.int32(unk_id)
+            )
+            dev_fb = np.zeros(len(docs_b), bool)
         ids = np.asarray(ids)
         counts = np.asarray(counts)
-        dev_fb = np.asarray(dev_fb)
         out: list[list[int]] = []
         for i, d in enumerate(docs_b):
             if pre_fb[i] or dev_fb[i]:
                 out.append(self._oracle.text_to_ids(d, unk_id=unk_id))
-            elif lengths[i] == 0 and not len(d) == 0:
-                out.append(self._oracle.text_to_ids(d, unk_id=unk_id))
+            elif lengths[i] == 0:
+                # invalid UTF-8 / empty input: the reference returns 0 ids
+                out.append([] if not d else self._oracle.text_to_ids(d, unk_id=unk_id))
             else:
                 out.append(ids[i, : counts[i]].tolist())
         return out
+
+
+# Backwards-compatible alias
+BpeTokenizer = SpTokenizer
 
 
 def _max_token_len(aut) -> int:
