@@ -1,0 +1,229 @@
+"""Public API — mirrors the reference C ABI surface
+(blingfiretools/blingfiretokdll/blingfiretokdll.h:25-103) with a Pythonic
+face plus batched TPU entry points.
+
+  load_model(path)           ~ LoadModel
+  TokenizerHandle methods:
+    .text_to_ids / .text_to_ids_batch            ~ TextToIds
+    .text_to_ids_with_offsets                    ~ TextToIdsWithOffsets
+    .text_to_words / .text_to_sentences          ~ TextToWords/Sentences
+    .word_hyphenation                            ~ WordHyphenationWithModel
+    .ids_to_text                                 ~ IdsToText
+    .set_no_dummy_prefix                         ~ SetNoDummyPrefix
+  normalize_spaces(text)     ~ NormalizeSpaces
+  text_to_hashes(text)       ~ TextToHashes
+  get_version()              ~ GetBlingFireTokVersion
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .formats.consts import SP_DELIMITER, DEFAULT_HYPHEN, is_whitespace
+from .models.loader import Model, load_model as _load_model
+from .runtime.hyph import HYPH_NO_HYPH, HyphEngine
+from .runtime.lexer import LexerOracleApi
+from .runtime.oracle import SpTokenizerOracle, utf8_to_utf32
+
+VERSION = (1, 0)
+
+
+def get_version() -> int:
+    """major*1000+minor, like GetBlingFireTokVersion (blingfiretokdll.cpp:107)."""
+    return VERSION[0] * 1000 + VERSION[1]
+
+
+class TokenizerHandle:
+    """One loaded model with all its engines, analogous to FAModelData."""
+
+    def __init__(self, model: Model, use_device: bool = True, **device_opts):
+        self.model = model
+        self._sp = None
+        self._sp_oracle = None
+        self._lexer = None
+        self._hyph = None
+        self._use_device = use_device
+        self._device_opts = device_opts
+        if model.seg is not None:
+            self._sp_oracle = SpTokenizerOracle(model.seg)
+        if model.wbd is not None:
+            self._lexer = LexerOracleApi(model)
+        if model.w2h is not None:
+            self._hyph = HyphEngine(model.w2h)
+
+    # -- lazy device path --------------------------------------------------
+
+    def _device_sp(self):
+        if self._sp is None and self.model.seg is not None:
+            from .runtime.host import SpTokenizer
+
+            self._sp = SpTokenizer(self.model, **self._device_opts)
+        return self._sp
+
+    # -- TextToIds family --------------------------------------------------
+
+    def text_to_ids(
+        self, text: bytes | str, max_len: int | None = None, unk_id: int = 0
+    ) -> list[int]:
+        """Single-string TextToIds (dispatches wp vs sp like the reference)."""
+        if self.model.has_seg:
+            return self._sp_oracle.text_to_ids(text, max_len, unk_id)
+        assert self._lexer is not None, "model has no tokenizer sections"
+        if isinstance(text, str):
+            text = text.encode("utf-8")
+        return self._lexer.text_to_ids(
+            text, max_len if max_len is not None else 1 << 30, unk_id
+        )
+
+    def text_to_ids_with_offsets(
+        self, text: bytes | str, max_len: int | None = None, unk_id: int = 0
+    ):
+        if self.model.has_seg:
+            return self._sp_oracle.text_to_ids_with_offsets(text, max_len, unk_id)
+        raise NotImplementedError("wp offsets pending")
+
+    def text_to_ids_batch(
+        self, docs: list[bytes | str], unk_id: int = 0
+    ) -> list[list[int]]:
+        """Batched TextToIds on the TPU device path (sp models)."""
+        if self.model.has_seg and self._use_device:
+            return self._device_sp().encode_batch(docs, unk_id=unk_id)
+        return [self.text_to_ids(d, unk_id=unk_id) for d in docs]
+
+    # -- words / sentences -------------------------------------------------
+
+    def text_to_words(self, text: bytes | str) -> str | None:
+        assert self._lexer is not None, "model has no [wbd] section"
+        return self._lexer.text_to_words(text)
+
+    def text_to_sentences(self, text: bytes | str) -> str | None:
+        assert self._lexer is not None, "model has no [wbd] section"
+        return self._lexer.text_to_sentences(text)
+
+    # -- hyphenation (blingfiretokdll.cpp:824-911) -------------------------
+
+    def word_hyphenation(
+        self, text: bytes | str, uhy: int = DEFAULT_HYPHEN
+    ) -> str | None:
+        assert self._hyph is not None, "model has no [w2h] section"
+        if isinstance(text, str):
+            text = text.encode("utf-8")
+        if len(text) == 0:
+            return ""
+        dec = utf8_to_utf32(text)
+        if dec is None:
+            return None
+        cps = [0x20 if c == 0 else c for c in dec[0][:300]]
+        res = self._hyph.process(cps)
+        if res is None:
+            return None
+        out = []
+        for c, h in zip(cps, res):
+            out.append(chr(c))
+            if h > HYPH_NO_HYPH:
+                out.append(chr(uhy))
+        return "".join(out)
+
+    # -- detokenization (blingfiretokdll.cpp:1689-1745) --------------------
+
+    def ids_to_text(self, ids, skip_special_tokens: bool = True) -> str | None:
+        i2w = self.model.i2w
+        if i2w is None:
+            return None
+        chunks: list[bytes] = []
+        first = True
+        for id_ in ids:
+            id_ = int(id_)
+            if skip_special_tokens and (
+                id_ < i2w.min_token_id or id_ > i2w.max_token_id
+            ):
+                continue
+            tok = i2w.get(id_)
+            if tok is None:
+                return None  # unknown id: reference returns 0
+            if first and len(tok) > 0 and tok[0] == 0x20:
+                tok = tok[1:]
+            if len(tok):
+                chunks.append(tok)
+                first = False  # reference strips while ActualLength == 0
+        return b"".join(chunks).decode("utf-8", errors="replace")
+
+    def set_no_dummy_prefix(self, value: bool) -> None:
+        assert self.model.seg is not None
+        self.model.seg.no_dummy_prefix = value
+        self._sp = None  # invalidate compiled device tables
+
+
+def load_model(path: str, i2w_path: str | None = None, **opts) -> TokenizerHandle:
+    model = _load_model(path)
+    if i2w_path:
+        aux = _load_model(i2w_path)
+        model.i2w = aux.i2w
+    return TokenizerHandle(model, **opts)
+
+
+# -- standalone functions --------------------------------------------------
+
+
+def normalize_spaces(text: bytes | str, u_space: int = SP_DELIMITER) -> str | None:
+    """NormalizeSpaces (blingfiretokdll.cpp:629-683)."""
+    if isinstance(text, str):
+        text = text.encode("utf-8")
+    if len(text) == 0:
+        return None
+    dec = utf8_to_utf32(text)
+    if dec is None:
+        return None
+    cps = dec[0]
+    out: list[int] = []
+    for c in cps:
+        if not is_whitespace(c):
+            out.append(c)
+        elif out and out[-1] != u_space:
+            out.append(u_space)
+    if len(out) > 1 and out[-1] == u_space:
+        out.pop()
+    return "".join(chr(c) for c in out)
+
+
+def _fnv_hash(data: bytes) -> np.uint32:
+    h = np.uint32(2166136261)
+    for b in data:
+        h = np.uint32(h ^ np.uint32(np.int8(b).astype(np.uint32) & 0xFFFFFFFF))
+        h = np.uint32(h * np.uint32(16777619))
+    return h
+
+
+EOS_HASH = None
+
+
+def text_to_hashes(
+    text: bytes | str, word_ngrams: int, bucket_size: int = 2_000_000
+) -> list[int] | None:
+    """fastText-compatible word+ngram hashing (blingfiretokdll.cpp:686-815).
+
+    Input must be pre-tokenized, single-space separated."""
+    global EOS_HASH
+    if isinstance(text, str):
+        text = text.encode("utf-8")
+    if word_ngrams <= 0 and len(text) < 0:
+        return None
+    if EOS_HASH is None:
+        EOS_HASH = int(np.int32(_fnv_hash(b"</s>")))
+
+    with np.errstate(over="ignore"):
+        words = text.split(b" ")
+        hashes = [int(np.int32(_fnv_hash(w))) for w in words]
+        n = len(hashes)
+        out = hashes + [0] * ((word_ngrams - 1) * n)
+
+        def sext(v):  # int32 -> uint64 via sign extension (C implicit conv)
+            return np.uint64(np.int64(np.int32(v)))
+
+        for i in range(n):
+            h = sext(out[i])
+            for j in range(i + 1, i + word_ngrams):
+                temp = sext(out[j]) if j < n else sext(EOS_HASH)
+                h = np.uint64(h * np.uint64(116049371) + temp)
+                out[(j - i) * n + i] = int(h % np.uint64(bucket_size))
+        return out

@@ -1,0 +1,99 @@
+"""W2H hyphenation engine (TeX-style packed patterns).
+
+Reference: blingfirecompile.library/inc/FAHyphInterpreter_core_t.h:136-267 and
+blingfiretokdll.cpp:824-911 (WordHyphenationWithModel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.loader import HyphModel
+from ..formats.consts import Param
+from .oracle import TransitionIndex
+
+HYPH_CONFLICT = -2
+HYPH_UNKNOWN = -1
+HYPH_NO_HYPH = 0
+HYPH_DONT_CARE = 7  # FAFsmConst.h:345-357
+
+MAX_WORD_SIZE = 300
+
+
+class HyphEngine:
+    def __init__(self, model: HyphModel):
+        self.m = model
+        self.trans = TransitionIndex(model.aut)
+        self.final = model.aut.final
+        self.moore_ow = model.aut.moore_ow
+        self.iw2iw = model.aut.iw2iw
+        p = model.params
+        self.left_anchor = p.get(Param.LEFT_ANCHOR, 1)
+        self.right_anchor = p.get(Param.RIGHT_ANCHOR, 2)
+        self.min_pat_len = p.get(Param.MIN_LEN, 3)
+        self.no_hyph_len = p.get(Param.MIN_LEN2, 0)
+        self.ignore_case = bool(p.get(Param.IGNORE_CASE, 0))
+
+    def _dest(self, state: int, raw_iw: int) -> int:
+        if state < 0:
+            return -1
+        if self.iw2iw is not None:
+            if raw_iw < 0 or raw_iw >= len(self.iw2iw):
+                return -1
+            iw = int(self.iw2iw[raw_iw])
+            if iw == -1:
+                return -1
+        else:
+            iw = raw_iw
+        dst, _ = self.trans.step(state, iw)
+        return dst
+
+    def process(self, word: list[int]) -> list[int] | None:
+        """Per-position hyphenation ops, or None on error."""
+        n = len(word)
+        if n > MAX_WORD_SIZE:
+            return None
+        seq = [self.left_anchor] + list(word) + [self.right_anchor]
+        if self.ignore_case:
+            raise NotImplementedError("w2h ignore-case")
+        if self.m.charmap is not None:
+            cm = self.m.charmap
+            for i in range(1, n + 1):
+                v = cm.get(seq[i])
+                if v is not None and len(v) == 1:
+                    seq[i] = int(v[0])
+        n2 = n + 2
+        out = [HYPH_UNKNOWN] * n
+        js = 1
+        for frm in range(0, n2 - (self.min_pat_len - 1)):
+            state = self.m.aut.initial
+            for i in range(frm, n2):
+                state = self._dest(state, seq[i])
+                if state == -1:
+                    break
+                if state >= 0 and self.final[state]:
+                    pat_id = int(self.moore_ow[state])
+                    pat = self.m.i2info.get(pat_id)
+                    assert pat is not None
+                    je = len(pat)
+                    oob = frm + len(pat) - n
+                    if oob > 0:
+                        je -= oob
+                    for j in range(js, je):
+                        ow = int(pat[j])
+                        if ow == HYPH_DONT_CARE:
+                            continue
+                        oi = frm + j - 1
+                        cur = out[oi]
+                        if cur == HYPH_UNKNOWN:
+                            out[oi] = ow
+                        elif cur != ow:
+                            out[oi] = HYPH_CONFLICT
+            js = 0
+        k = min(self.no_hyph_len, n)
+        for i in range(k):
+            out[i] = HYPH_NO_HYPH
+            j = n - i - 2
+            if j > 0:
+                out[j] = HYPH_NO_HYPH
+        return out

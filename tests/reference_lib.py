@@ -150,7 +150,9 @@ def word_hyphenation(
     return out.raw[: n - 1].decode("utf-8", errors="replace")
 
 
-def normalize_spaces(text: bytes | str, u_space: int = 0x20, max_out: int = 1 << 16) -> str:
+def normalize_spaces(
+    text: bytes | str, u_space: int = 0x2581, max_out: int = 1 << 16
+) -> str:
     if isinstance(text, str):
         text = text.encode("utf-8")
     out = ctypes.create_string_buffer(max_out)
@@ -163,4 +165,5 @@ def normalize_spaces(text: bytes | str, u_space: int = 0x20, max_out: int = 1 <<
     )
     if n <= 0:
         return ""
-    return out.raw[: n - 1].decode("utf-8", errors="replace")
+    # NormalizeSpaces returns the payload size (terminator not counted)
+    return out.raw[:n].decode("utf-8", errors="replace")
