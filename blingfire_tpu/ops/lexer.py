@@ -1,0 +1,176 @@
+"""Vectorized pattern-lexer pass for TPU.
+
+One `lexer_pass` = the reference's FALexTools_t::Process_int FromPos loop
+(FALexTools_t.h:229-397) over a batch of rows:
+
+  WALK — every row position starts a DFA run in lockstep; each step is two
+         comb-table lookups (exact input weight, then IW_ANY fallback).  Rows
+         carry their own initial state (grammar functions are just different
+         entry states).  The deepest final per start is recorded.
+  SCAN — the sequential FromPos skip-ahead (greedy, FinalPos-RightCx) as a
+         per-row scan, emitting (Tag, From, To, FnId) per visited match.
+
+Anchors are materialised as row symbols: position 0 holds IW_L_ANCHOR, the
+position after the last character holds IW_R_ANCHOR, padding is -1 (kills
+both lookups).  Regular characters are guarded to >= IW_EPSILON by the host
+(FALexTools_t.h:259-261), so they can never match anchor transitions.
+
+The emitted match list per row is order-exact with the reference; nested
+function calls are orchestrated by the host runtime level by level.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tables import CombTable
+
+INT32_MAX = np.int32(2**31 - 1)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class LexerDeviceTables:
+    base: jax.Array  # int32[n_states]
+    owner: jax.Array  # int32[slots]
+    nxt: jax.Array  # int32[slots]
+    final: jax.Array  # bool[n_states]
+    moore_ow: jax.Array  # int32[n_states]
+    act_right: jax.Array  # int32[n_acts] RightCx
+    act_tag: jax.Array  # int32[n_acts]
+    act_fn: jax.Array  # int32[n_acts] (-1 = no function call)
+    any_iw: jax.Array  # int32 scalar: dense id of IW_ANY
+    n_slots: int = field(metadata=dict(static=True))
+    max_token_length: int = field(metadata=dict(static=True))
+
+
+def make_device_tables(table: CombTable, moore_ow, acts: dict, max_token_length: int):
+    """Build device tables; actions densified by rule Ow.
+
+    Only the single-function action shape shipped in every reference model is
+    supported on device (LeftCx==0, <=1 function); others fall back to host."""
+    n_acts = max(acts.keys()) + 1 if acts else 0
+    act_right = np.zeros(n_acts, np.int32)
+    act_tag = np.zeros(n_acts, np.int32)
+    act_fn = np.full(n_acts, -1, np.int32)
+    for k, a in acts.items():
+        a = np.asarray(a)
+        assert int(a[0]) == 0, "LeftCx != 0 needs host path"
+        act_right[k] = int(a[1])
+        act_tag[k] = int(a[2])
+        fns = []
+        if len(a) > 3:
+            i = 3 if int(a[2]) == 0 else 4
+            # layout: (L, R, Tag [,0, FnIds...]) — the 0 delimiter is the
+            # Tag slot itself when Tag==0 (FALexTools_t.h:176-190)
+            if int(a[2]) != 0:
+                assert int(a[3]) == 0, "unexpected action layout"
+            fns = [int(x) for x in a[i:]]
+        assert len(fns) <= 1, "multi-function actions need host path"
+        if fns:
+            act_fn[k] = fns[0]
+    any_dense = int(table.sym2iw[0]) if len(table.sym2iw) > 0 else -1
+    return LexerDeviceTables(
+        base=jnp.asarray(table.base, jnp.int32),
+        owner=jnp.asarray(table.owner, jnp.int32),
+        nxt=jnp.asarray(table.nxt, jnp.int32),
+        final=jnp.asarray(table.final),
+        moore_ow=jnp.asarray(moore_ow, jnp.int32),
+        act_right=jnp.asarray(act_right),
+        act_tag=jnp.asarray(act_tag),
+        act_fn=jnp.asarray(act_fn),
+        any_iw=jnp.int32(any_dense),
+        n_slots=table.n_slots,
+        max_token_length=max_token_length,
+    )
+
+
+@jax.jit
+def lexer_pass(
+    tables: LexerDeviceTables,
+    x_ext: jax.Array,  # int32 (B, M): [L_ANCHOR, chars..., R_ANCHOR, -1 pad]
+    init_states: jax.Array,  # int32 (B,) per-row initial state
+    ext_len: jax.Array,  # int32 (B,) = chars + 2 (anchors)
+):
+    """Returns (visited, tag, from2, to2, fn) each (B, M) in ext coordinates.
+
+    visited[b, q] marks ext start positions the sequential FromPos loop
+    processes AND that matched; from2/to2 are already RightCx-adjusted and
+    clamped to [0, InSize-1] in ORIGINAL span coordinates (from = q says the
+    match began at original position q-1; the L-anchor start is q=0)."""
+    B, M = x_ext.shape
+    pos = jnp.arange(M, dtype=jnp.int32)
+    L = tables.max_token_length + 1  # letters budget + anchor/R step
+
+    x_pad = jnp.pad(x_ext, ((0, 0), (0, L + 1)), constant_values=-1)
+    r_pos = ext_len - 1  # ext index of the R anchor, (B,)
+
+    def step_lookup(state, c):
+        s_safe = jnp.maximum(state, 0)
+        slot = jnp.clip(tables.base[s_safe] + jnp.maximum(c, 0), 0, tables.n_slots - 1)
+        hit = (tables.owner[slot] == state) & (state >= 0) & (c >= 0)
+        return jnp.where(hit, tables.nxt[slot], -1)
+
+    def walk_cond(st):
+        d, state, *_ = st
+        return (d < L) & jnp.any(state >= 0)
+
+    def walk_body(st):
+        d, state, fin_pos, fin_ow = st
+        c = jax.lax.dynamic_slice(x_pad, (0, d), (B, M))
+        # length bound: letters beyond max_token_length only allowed when the
+        # consumed symbol is the row's R anchor (FALexTools_t.h:236-241,280)
+        at_r = (pos[None, :] + d) == r_pos[:, None]
+        ns = step_lookup(state, c)
+        ns_any = step_lookup(state, jnp.broadcast_to(tables.any_iw, (B, M)))
+        ns = jnp.where(ns == -1, jnp.where(c >= 0, ns_any, -1), ns)
+        allowed = (d < tables.max_token_length) | at_r
+        ns = jnp.where(allowed, ns, -1)
+        fin = (ns >= 0) & tables.final[jnp.maximum(ns, 0)]
+        fin_pos = jnp.where(fin, pos[None, :] + d, fin_pos)
+        fin_ow = jnp.where(fin, tables.moore_ow[jnp.maximum(ns, 0)], fin_ow)
+        return (d + 1, ns, fin_pos, fin_ow)
+
+    valid_start = pos[None, :] < r_pos[:, None]  # starts at 0..r_pos-1
+    init = jnp.where(valid_start, init_states[:, None], -1).astype(jnp.int32)
+    st0 = (
+        jnp.int32(0),
+        init,
+        jnp.full((B, M), -1, jnp.int32),
+        jnp.full((B, M), -1, jnp.int32),
+    )
+    _, _, fin_pos, fin_ow = jax.lax.while_loop(walk_cond, walk_body, st0)
+
+    # ------------------------------------------------------------------ SCAN
+    # matched starts in ext coords; emit spans in ORIGINAL coords
+    in_size = ext_len - 2  # original span length
+    right = tables.act_right[jnp.maximum(fin_ow, 0)]
+    tag = jnp.where(fin_ow >= 0, tables.act_tag[jnp.maximum(fin_ow, 0)], 0)
+    fn = jnp.where(fin_ow >= 0, tables.act_fn[jnp.maximum(fin_ow, 0)], -1)
+
+    # original-coordinate FinalPos: ext fin_pos - 1
+    fpos_orig = fin_pos - 1
+    from_orig = pos[None, :] - 1  # FromPos in original coords (q=0 -> -1)
+    from2 = jnp.clip(from_orig, 0, jnp.maximum(in_size - 1, 0)[:, None])
+    to2 = jnp.clip(fpos_orig - right, 0, jnp.maximum(in_size - 1, 0)[:, None])
+
+    # sequential skip: next = max(FromPos, FinalPos - RightCx) + 1  (ext +1)
+    has = fin_pos >= 0
+    skip_to_ext = jnp.where(has, jnp.maximum(from_orig, fpos_orig - right), from_orig)
+
+    def scan_step(nv, inp):
+        q, skip_q = inp  # (B,)
+        vis = nv == q
+        nv = jnp.where(vis, skip_q + 1 + 1, nv)  # orig->ext then advance
+        return nv, vis
+
+    _, vis_t = jax.lax.scan(
+        scan_step, jnp.zeros(B, jnp.int32), (pos, skip_to_ext.T)
+    )
+    visited = vis_t.T & valid_start & has
+    return visited, tag, from2, to2, fn

@@ -138,6 +138,10 @@ def build_comb_table(aut: DenseAutomaton, fill_factor: float = 1.25) -> CombTabl
         oww[slots] = ow_sorted[lo:hi]
 
     used = (int(occupied.nonzero()[0].max()) + 1 if occupied.any() else 0) + n_iws
+    # guarantee base[s] + iw stays in range for ANY probe iw <= n_iws (the
+    # "missing symbol" sentinel id n_iws probes one past the real alphabet)
+    if n:
+        used = max(used, int(base.max()) + n_iws + 1)
     return CombTable(
         base=base,
         owner=owner[:used].copy(),
