@@ -1,0 +1,91 @@
+"""Multi-chip / multi-host scaling: data-parallel corpus tokenization.
+
+The reference scales by running one process per core (README.md:105); the
+TPU-native design instead shards the *corpus* over a device mesh while model
+tables are replicated, and reduces global statistics (token counts, byte
+counts, parity checksums) with XLA collectives over ICI/DCN
+(SURVEY.md §2.8).  Tokenization is embarrassingly parallel across documents,
+so the only cross-chip traffic is the statistics reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_parallel_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), axis_names=("dp",))
+
+
+@dataclass
+class ShardedStats:
+    total_tokens: int
+    total_docs: int
+    checksum: int  # xor-fold of ids, used as a cheap cross-host parity probe
+
+
+class ShardedBpeRunner:
+    """Runs the BPE kernel data-parallel over a mesh with psum'd stats."""
+
+    def __init__(self, tokenizer, mesh: Mesh | None = None):
+        from ..runtime.host import SpTokenizer
+
+        assert isinstance(tokenizer, SpTokenizer) and tokenizer.is_bpe
+        self.tok = tokenizer
+        self.mesh = mesh or data_parallel_mesh()
+        self.n_dp = self.mesh.devices.size
+        self._data_sh = NamedSharding(self.mesh, P("dp", None))
+        self._vec_sh = NamedSharding(self.mesh, P("dp"))
+        self._rep_sh = NamedSharding(self.mesh, P())
+        self._step = self._build_step()
+
+    def _build_step(self):
+        from ..ops import bpe as bpe_ops
+
+        tables = self.tok.tables
+        a_max = self.tok.a_max
+
+        @functools.partial(
+            jax.jit,
+            out_shardings=(
+                self._data_sh,  # ids
+                self._vec_sh,  # counts
+                self._rep_sh,  # total tokens (replicated scalar)
+                self._rep_sh,  # checksum
+            ),
+        )
+        def step(x_iw, is_spm, lengths, unk_id):
+            ids, _st, _en, counts, _fb = bpe_ops.bpe_segment(
+                tables, x_iw, is_spm, lengths, unk_id, a_max
+            )
+            # global statistics: XLA inserts the cross-shard reductions
+            total = jnp.sum(counts)
+            pos = jnp.arange(ids.shape[1], dtype=jnp.int32)[None, :]
+            masked = jnp.where(pos < counts[:, None], ids, 0)
+            # position-weighted wrap-around sum: order-sensitive, cheap to
+            # psum, and stable across shardings of the same corpus
+            weights = pos * jnp.int32(-1640531527) + 1  # Knuth multiplier
+            checksum = jnp.sum(masked * weights, dtype=jnp.int32)
+            return ids, counts, total, checksum
+
+        return step
+
+    def run(self, docs: list[bytes], unk_id: int = 0):
+        B = len(docs)
+        pad = (-B) % self.n_dp
+        docs = docs + [b""] * pad
+        x, spm, lengths, _offs, _fb = self.tok._prep_batch(docs)
+        xj = jax.device_put(jnp.asarray(x), self._data_sh)
+        sj = jax.device_put(jnp.asarray(spm), self._data_sh)
+        lj = jax.device_put(jnp.asarray(lengths), self._vec_sh)
+        ids, counts, total, checksum = self._step(xj, sj, lj, jnp.int32(unk_id))
+        return ids, counts, ShardedStats(int(total), B, int(checksum))
