@@ -251,17 +251,18 @@ def pack_ldb(dumps: list[bytes], validate: bool = True) -> bytes:
     if validate:
         pad = (-pos) % 4
         pos += pad
-        # CRC over [dump_i start .. dump_{i+1} start) spans (FALDB.cpp:92-103)
+        # CRC over [dump_i start .. dump_{i+1} start) spans including the
+        # inter-dump padding (FALDB.cpp:92-103)
+        body = b"".join(blobs) + b"\0" * pad
+        base = header
         size = 0
         crc = 0
         span_starts = offsets + [pos]
-        body = b"".join(blobs)
-        base = header
         for i in range(len(dumps)):
             b0 = span_starts[i] - base
             b1 = span_starts[i + 1] - base
             size += b1 - b0
-            crc = zlib.crc32(body[b0:b1] + (b"\0" * 0), crc)
+            crc = zlib.crc32(body[b0:b1], crc)
         vdump = struct.pack("<III", 0, size, crc)
         blobs.append(b"\0" * pad + vdump)
         offsets.append(pos)
