@@ -1,0 +1,110 @@
+"""ctypes bindings for the native host runtime (libbtl_host.so).
+
+Builds on first import if the shared library is missing; falls back to the
+NumPy implementation when no compiler is available."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libbtl_host.so")
+_lib = None
+
+
+def _ensure_built() -> bool:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(
+        os.path.join(_DIR, "prep.cpp")
+    ):
+        return True
+    try:
+        subprocess.run(
+            ["make", "-s", "-C", _DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib
+    if _lib is None and _ensure_built():
+        lib = ctypes.cdll.LoadLibrary(_SO)
+        lib.btl_prep_sp_batch.restype = ctypes.c_int
+        lib.btl_version.restype = ctypes.c_int
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def prep_sp_batch(
+    docs: list[bytes],
+    n_sym: int,
+    sym2iw: np.ndarray,
+    use_raw_bytes: bool,
+    no_dummy_prefix: bool,
+    charmap=None,  # loader.CharMap or None
+    want_offsets: bool = False,
+):
+    """Native equivalent of runtime.host prep over a whole batch.
+
+    Returns (x_iw, is_spm, lengths, sym_off|None, status) where status is
+    0 ok / 1 invalid-input / 2 overflow per document."""
+    lib = get_lib()
+    assert lib is not None
+    B = len(docs)
+    blob = b"".join(docs)
+    doc_off = np.zeros(B + 1, np.int64)
+    np.cumsum([len(d) for d in docs], out=doc_off[1:])
+    x = np.empty((B, n_sym), np.int32)
+    spm = np.empty((B, n_sym), np.uint8)
+    lengths = np.empty(B, np.int32)
+    status = np.empty(B, np.uint8)
+    sym_off = np.empty((B, n_sym), np.int32) if want_offsets else None
+
+    sym2iw = np.ascontiguousarray(sym2iw, np.int32)
+    if charmap is not None:
+        cm_counts = np.ascontiguousarray(charmap.counts, np.int32)
+        cm_values = np.ascontiguousarray(charmap.values, np.int32)
+        cm_width = charmap.values.shape[1]
+        cm_min, cm_max = charmap.min_key, charmap.max_key
+        cc = cm_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        cv = cm_values.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    else:
+        cc = None
+        cv = None
+        cm_width = cm_min = cm_max = 0
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.btl_prep_sp_batch(
+        ctypes.c_char_p(blob),
+        doc_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int(B),
+        ctypes.c_int(1 if use_raw_bytes else 0),
+        ctypes.c_int(1 if no_dummy_prefix else 0),
+        cc,
+        cv,
+        ctypes.c_int(cm_width),
+        ctypes.c_int(cm_min),
+        ctypes.c_int(cm_max),
+        sym2iw.ctypes.data_as(i32p),
+        ctypes.c_int64(len(sym2iw)),
+        ctypes.c_int(n_sym),
+        x.ctypes.data_as(i32p),
+        spm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lengths.ctypes.data_as(i32p),
+        sym_off.ctypes.data_as(i32p) if sym_off is not None else None,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    assert rc == 0
+    return x, spm.astype(bool), lengths, sym_off, status

@@ -223,13 +223,28 @@ class SpTokenizer:
         self._oracle = SpTokenizerOracle(seg)
         self._sym2iw = self.comb.sym2iw
 
-    def _prep_batch(self, docs: list[bytes]):
+    def _prep_batch(self, docs: list[bytes], force_numpy: bool = False):
+        from .. import native
+
+        if not force_numpy and native.available():
+            x, spm, lengths, _so, status = native.prep_sp_batch(
+                docs,
+                self.n_doc,
+                self._sym2iw,
+                self.seg.use_raw_bytes,
+                self.seg.no_dummy_prefix,
+                self.seg.charmap,
+            )
+            fallback = status == 2
+            offs: list = [None] * len(docs)
+            return x, spm, lengths, offs, fallback
+
         B = len(docs)
         N = self.n_doc
         x = np.full((B, N), -1, np.int32)
         spm = np.zeros((B, N), bool)
         lengths = np.zeros(B, np.int32)
-        offs: list[np.ndarray | None] = []
+        offs = []
         fallback = np.zeros(B, bool)
         for i, d in enumerate(docs):
             p = prepare_sp_doc(d, self.seg)
