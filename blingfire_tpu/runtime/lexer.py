@@ -216,6 +216,21 @@ def _cps_to_utf8(seq: list[int]) -> str:
     return "".join(chr(c) if 0 <= c <= 0x10FFFF else "�" for c in seq)
 
 
+def _utf8_size_b(text: bytes, off: int) -> int:
+    if not (0 <= off < len(text)):
+        return 0
+    b0 = text[off]
+    if b0 & 0x80 == 0:
+        return 1
+    if b0 & 0xE0 == 0xC0:
+        return 2
+    if b0 & 0xF0 == 0xE0:
+        return 3
+    if b0 & 0xF8 == 0xF0:
+        return 4
+    return 0
+
+
 class LexerOracleApi:
     """TextToWords / TextToSentences / WordPiece TextToIds over one model."""
 
@@ -234,54 +249,68 @@ class LexerOracleApi:
         return cps, offs
 
     def text_to_words(self, text: bytes | str) -> str | None:
+        r = self.text_to_words_with_offsets(text)
+        return r if r is None else r[0]
+
+    def text_to_words_with_offsets(self, text: bytes | str):
+        """Returns (words_str, starts, ends) — blingfiretokdll.cpp:416-566."""
         if isinstance(text, str):
             text = text.encode("utf-8")
         if len(text) == 0:
-            return ""
+            return "", [], []
         dec = self._decode(text)
         if dec is None:
             return None
-        cps, _offs = dec
+        cps, offs = dec
         res = self.engine.process(cps, max_out=len(cps) * 3)
-        words = []
+        words, starts, ends = [], [], []
         for i in range(0, len(res), 3):
             tag, f, t = res[i], res[i + 1], res[i + 2]
             if tag == WBD_IGNORE_TAG:
                 continue
             words.append(_cps_to_utf8(cps[f : t + 1]).replace(" ", "_"))
-        return " ".join(words)
+            starts.append(offs[f])
+            sz = _utf8_size_b(text, offs[t])
+            ends.append(offs[t] + (sz - 1 if sz > 0 else 0))
+        return " ".join(words), starts, ends
 
     def text_to_sentences(self, text: bytes | str) -> str | None:
+        r = self.text_to_sentences_with_offsets(text)
+        return r if r is None else r[0]
+
+    def text_to_sentences_with_offsets(self, text: bytes | str):
+        """Returns (sents_str, starts, ends) — blingfiretokdll.cpp:163-355."""
         if isinstance(text, str):
             text = text.encode("utf-8")
         if len(text) == 0:
-            return ""
+            return "", [], []
         dec = self._decode(text)
         if dec is None:
             return None
-        cps, _offs = dec
+        cps, offs = dec
         n = len(cps)
         res = self.engine.process(cps, max_out=n * 3)
-        sents = []
+        sents, starts, ends = [], [], []
+
+        def emit(frm: int, to: int):
+            delta = _first_non_ws(cps, frm, to + 1)
+            if delta < to + 1 - frm:
+                sents.append(
+                    _cps_to_utf8(cps[frm + delta : to + 1]).replace("\n", " ")
+                )
+                starts.append(offs[frm + delta])
+                sz = _utf8_size_b(text, offs[to])
+                ends.append(offs[to] + (sz - 1 if sz > 0 else 0))
+
         prev_end = -1
         for i in range(0, len(res), 3):
             frm = prev_end + 1
             to = res[i + 2]
             prev_end = to
-            delta = _first_non_ws(cps, frm, to + 1)
-            if delta < to + 1 - frm:
-                sents.append(
-                    _cps_to_utf8(cps[frm + delta : to + 1]).replace("\n", " ")
-                )
+            emit(frm, to)
         if prev_end + 1 < n:
-            frm = prev_end + 1
-            to = n - 1
-            delta = _first_non_ws(cps, frm, to + 1)
-            if delta < to + 1 - frm:
-                sents.append(
-                    _cps_to_utf8(cps[frm + delta : to + 1]).replace("\n", " ")
-                )
-        return "\n".join(sents)
+            emit(prev_end + 1, n - 1)
+        return "\n".join(sents), starts, ends
 
     def text_to_ids(
         self, text: bytes | str, max_len: int = 1 << 30, unk_id: int = 0
@@ -302,7 +331,48 @@ class LexerOracleApi:
             if len(cps) <= 0 or len(cps) > len(text):
                 return []
         res = self.engine.process(cps, max_out=len(cps) * 6)
-        out: list[int] = []
+        return self._stitch(res, max_len, unk_id)
+
+    def text_to_ids_with_offsets(
+        self, text: bytes | str, max_len: int = 1 << 30, unk_id: int = 0
+    ):
+        """WordPiece ids + byte offsets (blingfiretokdll.cpp:1109-1314)."""
+        if isinstance(text, str):
+            text = text.encode("utf-8")
+        if len(text) == 0:
+            return [], [], []
+        dec = utf8_to_utf32(text)
+        if dec is None:
+            return [], [], []
+        cps, offs = dec
+        if len(cps) == 0 or len(cps) > len(text):
+            return [], [], []
+        norm_offs = None
+        if self.charmap is not None:
+            cps, norm_offs = normalize(cps, self.charmap)
+            if len(cps) <= 0 or len(cps) > len(text):
+                return [], [], []
+        res = self.engine.process(cps, max_out=len(cps) * 6)
+
+        def to_byte(p: int) -> int:
+            return offs[norm_offs[p]] if norm_offs is not None else offs[p]
+
+        ids, starts, ends = [], [], []
+        for tid, f, t in self._stitch_spans(res, max_len, unk_id):
+            ids.append(tid)
+            fo = to_byte(f)
+            to = to_byte(t)
+            starts.append(fo)
+            sz = _utf8_size_b(text, to)
+            ends.append(to + (sz - 1 if sz > 0 else 0))
+        return ids, starts, ends
+
+    def _stitch(self, res, max_len, unk_id):
+        return [tid for tid, _f, _t in self._stitch_spans(res, max_len, unk_id)]
+
+    def _stitch_spans(self, res, max_len, unk_id):
+        """(id, from, to) per emitted token (blingfiretokdll.cpp:1210-1311)."""
+        out: list[tuple[int, int, int]] = []
         i = 0
         n = len(res)
         while i < n:
@@ -327,11 +397,12 @@ class LexerOracleApi:
                     if num_sub > 0 and expected_from - 1 == tok_to:
                         for k in range(num_sub):
                             if len(out) < max_len:
-                                out.append(res[i + (k + 1) * 3])
+                                b = i + (k + 1) * 3
+                                out.append((res[b], res[b + 1], res[b + 2]))
                         covered = True
                 if not covered:
                     if len(out) < max_len:
-                        out.append(unk_id)
+                        out.append((unk_id, tok_from, tok_to))
                 # skip past consumed subtokens (j == i+3 when none consumed)
                 i = j - 3
             if len(out) >= max_len:

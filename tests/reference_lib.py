@@ -115,6 +115,37 @@ def text_to_sentences(text: bytes | str, handle=None, max_out: int = 1 << 16) ->
     return out.raw[: n - 1].decode("utf-8", errors="replace")
 
 
+def _with_offsets(fname, text, handle, max_out=1 << 16):
+    if isinstance(text, str):
+        text = text.encode("utf-8")
+    out = ctypes.create_string_buffer(max_out)
+    starts = np.zeros(max_out, np.int32)
+    ends = np.zeros(max_out, np.int32)
+    fn = getattr(_lib(), fname)
+    n = fn(
+        ctypes.c_char_p(text),
+        ctypes.c_int(len(text)),
+        out,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int(max_out),
+        ctypes.c_void_p(handle),
+    )
+    if n <= 0:
+        return "", [], []
+    s = out.raw[: n - 1].decode("utf-8", errors="replace")
+    cnt = len(s.split(" " if "Words" in fname else "\n")) if s else 0
+    return s, starts[:cnt].tolist(), ends[:cnt].tolist()
+
+
+def text_to_words_with_offsets(text, handle):
+    return _with_offsets("TextToWordsWithOffsetsWithModel", text, handle)
+
+
+def text_to_sentences_with_offsets(text, handle):
+    return _with_offsets("TextToSentencesWithOffsetsWithModel", text, handle)
+
+
 def ids_to_text(handle, ids, skip_special: bool = True, max_out: int = 1 << 16) -> str:
     arr = np.asarray(ids, dtype=np.int32)
     out = ctypes.create_string_buffer(max_out)
