@@ -235,6 +235,106 @@ def pack_mealy_dfa(
     return bytes(out)
 
 
+def pack_iw_map(entries: list[tuple[int, int]]) -> bytes:
+    """FAIwMapPack dump: sorted (old_iw, new_iw) pairs -> interval-compressed
+    map (read side: blingfireclient.library/src/FAIwMap_pack.cpp:35-88).
+
+    Contiguous old-iw runs become intervals; gaps INSIDE an interval store 0
+    (= no mapping); stored values are new_iw + 1."""
+    entries = sorted(entries)
+    assert entries
+    max_new = max(v for _k, v in entries)
+    size_of_new = (
+        1 if max_new + 1 <= 0xFF else 2 if max_new + 1 <= 0xFFFF else
+        3 if max_new + 1 <= 0xFFFFFF else 4
+    )
+    # build intervals: split when the gap is large enough that a new interval
+    # header (12 bytes) is cheaper than storing zeros
+    intervals: list[list[tuple[int, int]]] = [[entries[0]]]
+    for k, v in entries[1:]:
+        if k - intervals[-1][-1][0] <= max(16, 12 // size_of_new):
+            intervals[-1].append((k, v))
+        else:
+            intervals.append([(k, v)])
+    out = bytearray()
+    out += struct.pack("<ii", size_of_new, len(intervals))
+    for iv in intervals:
+        out += struct.pack("<i", iv[0][0])
+    storage = bytearray()
+    for iv in intervals:
+        frm = iv[0][0]
+        to = iv[-1][0]
+        out += struct.pack("<ii", to, len(storage))
+        vals = {k: v for k, v in iv}
+        for k in range(frm, to + 1):
+            v = vals.get(k)
+            storage += _be(0 if v is None else v + 1, size_of_new)
+    out += storage
+    return bytes(out)
+
+
+def pack_moore_dfa(
+    n_states: int,
+    final,
+    edges: dict[int, list[tuple[int, int]]],  # src -> [(internal_iw, dst)]
+    state_ow,  # int array, -1 = no reaction
+    alphabet_ranges: list[tuple[int, int]],  # ORIGINAL iw ranges (header)
+    iw_map_entries: list[tuple[int, int]],  # original -> internal
+    dst_size: int = 3,
+) -> bytes:
+    """Packed Moore automaton with --remap-iws (FADfaPack_triv layout,
+    PARA transitions, inline Ow slot)."""
+    iw2iw_dump = pack_iw_map(iw_map_entries)
+
+    header_size = 12 + 8 * len(alphabet_ranges) + 4 + len(iw2iw_dump)
+    state_meta = []
+    for s in range(n_states):
+        es = sorted(edges.get(s, []))
+        ow = int(state_ow[s])
+        ow_size = 0
+        if ow != -1:
+            ow_size = 1 if -128 <= ow <= 127 else 2 if -32768 <= ow <= 32767 else 4
+        if es:
+            max_iw = max(iw for iw, _d in es)
+            iw_size, iw_code = _iw_size_code(max_iw)
+            size = 1 + iw_size * (1 + len(es)) + dst_size * len(es) + ow_size
+        else:
+            iw_size, iw_code = 1, 0
+            size = 1 + ow_size
+        state_meta.append((es, iw_size, iw_code, ow, ow_size, size))
+
+    offsets = []
+    pos = header_size
+    for s in range(n_states):
+        offsets.append(pos)
+        pos += state_meta[s][5]
+    dead = (1 << (8 * dst_size)) - 1
+    assert pos < dead, "image too large for dst_size"
+
+    out = bytearray()
+    out += struct.pack("<iiI", dst_size, 0, 0x80000000 | (2 * len(alphabet_ranges)))
+    for a, b in alphabet_ranges:
+        out += struct.pack("<ii", a, b)
+    out += struct.pack("<i", len(iw2iw_dump))
+    out += iw2iw_dump
+    assert len(out) == header_size
+    for s in range(n_states):
+        es, iw_size, iw_code, ow, ow_size, _sz = state_meta[s]
+        info = (TRS_PARA if es else 0) | (iw_code << 3) | (_ow_code(ow_size) << 5)
+        if final[s]:
+            info |= 0x80
+        out += bytes([info])
+        if es:
+            out += _le(len(es) - 1, iw_size)
+            for iw, _d in es:
+                out += _le(iw, iw_size)
+            for _iw, d in es:
+                out += _be(offsets[d] if d >= 0 else dead, dst_size)
+        if ow_size:
+            out += _le(ow, ow_size)
+    return bytes(out)
+
+
 def pack_ldb(dumps: list[bytes], validate: bool = True) -> bytes:
     """LDB container: [Count][Offsets] + aligned dumps (+validation dump)."""
     n = len(dumps) + (1 if validate else 0)
