@@ -51,7 +51,7 @@ class TokenizerHandle:
         if model.w2h is not None:
             self._hyph = HyphEngine(model.w2h)
 
-    # -- lazy device path --------------------------------------------------
+    # -- lazy device paths -------------------------------------------------
 
     def _device_sp(self):
         if self._sp is None and self.model.seg is not None:
@@ -59,6 +59,23 @@ class TokenizerHandle:
 
             self._sp = SpTokenizer(self.model, **self._device_opts)
         return self._sp
+
+    _words_dev = None
+    _wp_dev = None
+
+    def _device_words(self):
+        if self._words_dev is None and self.model.wbd is not None:
+            from .runtime.lexer_host import WordsTpu
+
+            self._words_dev = WordsTpu(self.model)
+        return self._words_dev
+
+    def _device_wp(self):
+        if self._wp_dev is None and self.model.wbd is not None:
+            from .runtime.lexer_host import WordPieceTpu
+
+            self._wp_dev = WordPieceTpu(self.model)
+        return self._wp_dev
 
     # -- TextToIds family --------------------------------------------------
 
@@ -85,10 +102,23 @@ class TokenizerHandle:
     def text_to_ids_batch(
         self, docs: list[bytes | str], unk_id: int = 0
     ) -> list[list[int]]:
-        """Batched TextToIds on the TPU device path (sp models)."""
-        if self.model.has_seg and self._use_device:
-            return self._device_sp().encode_batch(docs, unk_id=unk_id)
+        """Batched TextToIds on the TPU device path."""
+        if self._use_device:
+            if self.model.has_seg:
+                return self._device_sp().encode_batch(docs, unk_id=unk_id)
+            if self.model.wbd is not None:
+                return self._device_wp().text_to_ids_batch(docs, unk_id=unk_id)
         return [self.text_to_ids(d, unk_id=unk_id) for d in docs]
+
+    def text_to_words_batch(self, docs: list[bytes | str]) -> list[str | None]:
+        if self._use_device and self.model.wbd is not None:
+            return self._device_words().text_to_words_batch(docs)
+        return [self.text_to_words(d) for d in docs]
+
+    def text_to_sentences_batch(self, docs: list[bytes | str]) -> list[str | None]:
+        if self._use_device and self.model.wbd is not None:
+            return self._device_words().text_to_sentences_batch(docs)
+        return [self.text_to_sentences(d) for d in docs]
 
     # -- words / sentences -------------------------------------------------
 
