@@ -233,24 +233,47 @@ def bpe_segment(
     ranks = jnp.concatenate([r_rank, u_rank], axis=1)
     avalid = jnp.concatenate([r_valid, u_valid], axis=1)
 
-    key_id = jnp.where(avalid, ids, INT32_MAX)
-    key_start = jnp.where(avalid, starts, INT32_MAX)
-    operands = [key_id, key_start, starts, ends, ids, avalid]
-    num_keys = 2
-    if tables.with_merges:
-        key_rank = jnp.where(avalid, _float_desc_key(ranks), INT32_MAX)
-        operands = [key_rank] + operands
-        num_keys = 3
-    sorted_ops = jax.lax.sort(operands, dimension=1, num_keys=num_keys)
-    s_start, s_end, s_id, s_valid = sorted_ops[-4:]
-
-    # arc budget check + truncation
+    # compact surviving arcs into (B, a_max) slots with a prefix sum —
+    # avoids sorting the full N*(K1+1)-wide slab (the sort used to dominate
+    # the whole kernel)
+    slot_pos = jnp.cumsum(avalid.astype(jnp.int32), axis=1) - 1
     n_arcs = jnp.sum(avalid, axis=1)
     arc_overflow = n_arcs > a_max
-    s_start = s_start[:, :a_max]
-    s_end = s_end[:, :a_max]
-    s_id = s_id[:, :a_max]
-    s_valid = s_valid[:, :a_max]
+    keep_arc = avalid & (slot_pos < a_max)
+    flat_b2 = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], avalid.shape
+    )
+    flat_dst = jnp.where(keep_arc, flat_b2 * a_max + slot_pos, B * a_max)
+
+    def compact(src, fill):
+        return (
+            jnp.full(B * a_max + 1, fill, src.dtype)
+            .at[flat_dst.reshape(-1)]
+            .set(src.reshape(-1), mode="drop")[: B * a_max]
+            .reshape(B, a_max)
+        )
+
+    c_start = compact(starts, 0)
+    c_end = compact(ends, 0)
+    c_id = compact(ids, 0)
+    c_valid = compact(avalid, False)
+
+    # sort the compacted arcs by (merge-rank desc,) id asc, start asc with a
+    # packed key + row index, then gather payloads
+    key2 = jnp.where(
+        c_valid, c_id * jnp.int32(N) + c_start, INT32_MAX
+    )  # id < 2^20, start < N: fits int32 for N*maxid < 2^31
+    idx0 = jnp.broadcast_to(jnp.arange(a_max, dtype=jnp.int32)[None, :], (B, a_max))
+    if tables.with_merges:
+        c_rank = compact(ranks, 0.0)
+        key_rank = jnp.where(c_valid, _float_desc_key(c_rank), INT32_MAX)
+        _, _, s_idx = jax.lax.sort([key_rank, key2, idx0], dimension=1, num_keys=2)
+    else:
+        _, s_idx = jax.lax.sort([key2, idx0], dimension=1, num_keys=1)
+    s_start = jnp.take_along_axis(c_start, s_idx, axis=1)
+    s_end = jnp.take_along_axis(c_end, s_idx, axis=1)
+    s_id = jnp.take_along_axis(c_id, s_idx, axis=1)
+    s_valid = jnp.take_along_axis(c_valid, s_idx, axis=1)
 
     # ----------------------------------------------------------------- CLAIM
     W = (N + 1 + 31) // 32
@@ -294,29 +317,23 @@ def bpe_segment(
     # unreachable).  Then tokens are emitted by walking pos 0 -> tos+1 -> …
     # (…_bpe_t.h:274-313).
     keep = claimed & s_valid
-    # last-claim-wins per start: sort (start, claim_idx) and keep the row
-    # whose successor has a different start
+    # last-claim-wins per start: scatter-max the claim ORDER index into a
+    # per-start grid, then gather that winning arc's payload
     idx = jnp.broadcast_to(jnp.arange(a_max, dtype=jnp.int32)[None, :], (B, a_max))
-    k_start = jnp.where(keep, s_start, INT32_MAX)
-    ss, si, s_end2, s_id2 = jax.lax.sort(
-        [k_start, idx, s_end, s_id], dimension=1, num_keys=2
-    )
-    nxt_start = jnp.concatenate(
-        [ss[:, 1:], jnp.full((B, 1), INT32_MAX, jnp.int32)], axis=1
-    )
-    is_last = (ss != nxt_start) & (ss != INT32_MAX)
-
     flat_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, a_max))
-    flat_idx = jnp.where(is_last, flat_b * N + ss, B * N)
-    grid_id = (
-        jnp.full(B * N + 1, unk_id, jnp.int32).at[flat_idx.reshape(-1)]
-        .set(s_id2.reshape(-1), mode="drop")[: B * N]
+    flat_idx = jnp.where(keep, flat_b * N + s_start, B * N)
+    win = (
+        jnp.full(B * N + 1, -1, jnp.int32).at[flat_idx.reshape(-1)]
+        .max(idx.reshape(-1), mode="drop")[: B * N]
         .reshape(B, N)
     )
-    grid_tos = (
-        jnp.zeros(B * N + 1, jnp.int32).at[flat_idx.reshape(-1)]
-        .set(s_end2.reshape(-1), mode="drop")[: B * N]
-        .reshape(B, N)
+    has_win = win >= 0
+    win_safe = jnp.maximum(win, 0)
+    grid_id = jnp.where(
+        has_win, jnp.take_along_axis(s_id, win_safe, axis=1), unk_id
+    )
+    grid_tos = jnp.where(
+        has_win, jnp.take_along_axis(s_end, win_safe, axis=1), 0
     )
 
     # the emission walk: emit at p iff the walk visits p
@@ -330,14 +347,22 @@ def bpe_segment(
         emit_step, jnp.zeros(B, jnp.int32), (pos, grid_tos.T)
     )
     tok_here = emit_t.T & valid
-    order = jnp.argsort(jnp.where(tok_here, pos[None, :], INT32_MAX), axis=1)
-    out_ids = jnp.take_along_axis(
-        jnp.where(tok_here, grid_id, 0), order, axis=1
-    ) + tables.id_offset
-    out_starts = jnp.take_along_axis(
-        jnp.broadcast_to(pos[None, :], (B, N)), order, axis=1
+    # left-compaction via prefix sum + scatter (no sort)
+    out_slot = jnp.cumsum(tok_here.astype(jnp.int32), axis=1) - 1
+    flat_o = jnp.where(
+        tok_here, jnp.arange(B, dtype=jnp.int32)[:, None] * N + out_slot, B * N
     )
-    out_ends = jnp.take_along_axis(grid_tos, order, axis=1)
+
+    def emit_compact(src, fill):
+        return (
+            jnp.full(B * N + 1, fill, src.dtype).at[flat_o.reshape(-1)]
+            .set(src.reshape(-1), mode="drop")[: B * N]
+            .reshape(B, N)
+        )
+
+    out_ids = emit_compact(grid_id, 0) + tables.id_offset
+    out_starts = emit_compact(jnp.broadcast_to(pos[None, :], (B, N)), 0)
+    out_ends = emit_compact(grid_tos, 0)
     counts = jnp.sum(tok_here, axis=1).astype(jnp.int32)
 
     fallback = jnp.any(slot_overflow & valid, axis=1) | arc_overflow

@@ -228,10 +228,22 @@ def unigram_segment(
     )
     emit = emit_t[rev].T & valid  # (B, N) marks segment END positions
 
-    order = jnp.argsort(jnp.where(emit, pos[None, :], INT32_MAX), axis=1)
-    out_ends = jnp.take_along_axis(jnp.broadcast_to(pos[None, :], (B, N)), order, 1)
-    out_starts = jnp.take_along_axis(best_begin, order, 1)
-    raw_id = jnp.take_along_axis(best_id, order, 1)
+    # left-compaction via prefix sum + scatter (sorts are expensive on TPU)
+    out_slot = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
+    flat_o = jnp.where(
+        emit, jnp.arange(B, dtype=jnp.int32)[:, None] * N + out_slot, B * N
+    )
+
+    def emit_compact(src, fill):
+        return (
+            jnp.full(B * N + 1, fill, src.dtype).at[flat_o.reshape(-1)]
+            .set(src.reshape(-1), mode="drop")[: B * N]
+            .reshape(B, N)
+        )
+
+    out_ends = emit_compact(jnp.broadcast_to(pos[None, :], (B, N)), 0)
+    out_starts = emit_compact(best_begin, 0)
+    raw_id = emit_compact(best_id, 0)
     out_ids = jnp.where(raw_id == -1, unk_id, raw_id) + tables.id_offset
     counts = jnp.sum(emit, axis=1).astype(jnp.int32)
     return out_ids, out_starts, out_ends, counts

@@ -303,6 +303,89 @@ class SpTokenizer:
         return out
 
 
+    def encode_corpus(
+        self,
+        docs: list[bytes | str],
+        unk_id: int = 0,
+        batch_docs: int = 2048,
+        counters=None,
+    ) -> list[list[int]]:
+        """Streaming corpus tokenization: fixed-shape batches are dispatched
+        back to back (JAX dispatch is async, so host prep of batch k+1
+        overlaps device compute of batch k)."""
+        import jax
+        import jax.numpy as jnp
+
+        from . import metrics
+
+        c = counters or metrics.global_counters()
+        docs_b = [d.encode("utf-8") if isinstance(d, str) else d for d in docs]
+        out: list[list[int]] = [None] * len(docs_b)  # type: ignore
+
+        inflight = []
+
+        def collect(entry):
+            idxs, docs_chunk, pre_fb, handles = entry
+            with metrics.stage("collect", c):
+                if self.is_bpe:
+                    ids, counts, dev_fb = (
+                        np.asarray(handles[0]),
+                        np.asarray(handles[3]),
+                        np.asarray(handles[4]),
+                    )
+                else:
+                    ids, counts = np.asarray(handles[0]), np.asarray(handles[3])
+                    dev_fb = np.zeros(len(idxs), bool)
+                for k, i in enumerate(idxs):
+                    d = docs_chunk[k]
+                    if pre_fb[k] or dev_fb[k]:
+                        c.fallback_docs += 1
+                        out[i] = self._oracle.text_to_ids(d, unk_id=unk_id)
+                    elif len(d) == 0:
+                        c.invalid_docs += 1
+                        out[i] = []
+                    else:
+                        row = ids[k, : counts[k]].tolist()
+                        out[i] = row
+                        c.tokens_out += len(row)
+
+        for start in range(0, len(docs_b), batch_docs):
+            chunk = docs_b[start : start + batch_docs]
+            idxs = list(range(start, start + len(chunk)))
+            if len(chunk) < batch_docs:  # keep shapes jit-cache stable
+                chunk = chunk + [b""] * (batch_docs - len(chunk))
+            with metrics.stage("prep", c):
+                x, spm, lengths, _offs, pre_fb = self._prep_batch(chunk)
+            with metrics.stage("dispatch", c):
+                if self.is_bpe:
+                    handles = bpe_ops.bpe_segment(
+                        self.tables,
+                        jnp.asarray(x),
+                        jnp.asarray(spm),
+                        jnp.asarray(lengths),
+                        jnp.int32(unk_id),
+                        self.a_max,
+                    )
+                else:
+                    from ..ops import unigram as uni_ops
+
+                    handles = uni_ops.unigram_segment(
+                        self.tables,
+                        jnp.asarray(x),
+                        jnp.asarray(lengths),
+                        jnp.int32(unk_id),
+                    )
+            c.bytes_in += sum(len(d) for d in chunk)
+            c.docs_in += len(chunk)
+            c.batches += 1
+            inflight.append((idxs, chunk, pre_fb, handles))
+            if len(inflight) > 2:  # keep a small pipeline
+                collect(inflight.pop(0))
+        while inflight:
+            collect(inflight.pop(0))
+        return out
+
+
 # Backwards-compatible alias
 BpeTokenizer = SpTokenizer
 
