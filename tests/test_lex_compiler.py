@@ -87,3 +87,25 @@ def test_compile_bert_from_vocab():
         assert a_new.text_to_ids(l.encode(), unk_id=100) == a_old.text_to_ids(
             l.encode(), unk_id=100
         ), l
+
+
+@pytest.mark.slow
+def test_compile_bert_chinese_with_charmap():
+    from blingfire_tpu.compiler.lexrules import parse_charmap
+
+    root = LDBSRC
+    # NOTE: split("\n"), not splitlines() — the vocab contains U+2028 tokens
+    # and the reference generator iterates file lines (\n only)
+    vocab = open(f"{root}/bert_chinese/vocab.txt", encoding="utf-8").read().split("\n")
+    grammar = read_lex_source(f"{root}/bert_chinese/wbd.lex.utf8")
+    ts = load_tagset(f"{root}/bert_chinese/wbd.tagset.txt")
+    cm = parse_charmap(read_lex_source(f"{root}/bert_chinese/charmap.utf8"))
+    blob = compile_wordpiece_model(vocab, grammar, ts, dict_root=root, charmap=cm)
+    m_new = _load(blob)
+    m_old = load_model(f"{root}/ldb/bert_chinese.bin")
+    assert m_new.wbd.aut.n_states == m_old.wbd.aut.n_states
+    a_new, a_old = LexerOracleApi(m_new), LexerOracleApi(m_old)
+    for l in CORPUS[:60]:
+        assert a_new.text_to_ids(l.encode(), unk_id=100) == a_old.text_to_ids(
+            l.encode(), unk_id=100
+        ), l
