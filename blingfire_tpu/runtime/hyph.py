@@ -97,3 +97,66 @@ class HyphEngine:
             if j > 0:
                 out[j] = HYPH_NO_HYPH
         return out
+
+
+class HyphTpu:
+    """Batched device hyphenation over one [w2h] model."""
+
+    def __init__(self, model):
+        from ..ops import hyph as hyph_ops
+        from ..ops.tables import build_comb_table
+
+        self.engine = HyphEngine(model)
+        self.model = model
+        self.comb = build_comb_table(model.aut)
+        self.tables = hyph_ops.make_device_tables(
+            self.comb, model.aut.moore_ow, model.i2info, model.params
+        )
+        self._sym2iw = self.comb.sym2iw
+        self._n_iws = self.comb.n_iws
+
+    def _map_raw(self, raw: "np.ndarray"):
+        import numpy as np
+
+        m = self._sym2iw
+        idx = np.clip(raw, 0, len(m) - 1)
+        v = np.where((raw >= 0) & (raw < len(m)), m[idx], -1)
+        return np.where(v < 0, self._n_iws, v).astype(np.int32)
+
+    def process_batch(self, words: list[list[int]], bucket: int = 32):
+        """Per-position ops for a batch of words (codepoint lists)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..ops import hyph as hyph_ops
+
+        out: list[list[int] | None] = [None] * len(words)
+        todo = []
+        for i, w in enumerate(words):
+            if len(w) > MAX_WORD_SIZE:
+                continue  # caller falls back / errors like the reference
+            todo.append(i)
+        if not todo:
+            return out
+        W = max(bucket, max(len(words[i]) for i in todo))
+        eng = self.engine
+        cm = self.model.charmap
+        B = len(todo)
+        x = np.full((B, W + 2), -1, np.int32)
+        wl = np.zeros(B, np.int32)
+        for k, i in enumerate(todo):
+            w = list(words[i])
+            if cm is not None:
+                for j, c in enumerate(w):
+                    v = cm.get(c)
+                    if v is not None and len(v) == 1:
+                        w[j] = int(v[0])
+            seq = [eng.left_anchor] + w + [eng.right_anchor]
+            x[k, : len(seq)] = self._map_raw(np.asarray(seq, np.int32))
+            wl[k] = len(w)
+        res = np.asarray(
+            hyph_ops.hyph_segment(self.tables, jnp.asarray(x), jnp.asarray(wl))
+        )
+        for k, i in enumerate(todo):
+            out[i] = res[k, : wl[k]].tolist()
+        return out
