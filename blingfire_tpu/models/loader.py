@@ -125,6 +125,7 @@ class Model:
     w2h: HyphModel | None = None
     i2w: I2wModel | None = None
     extra: dict = field(default_factory=dict)
+    source_key: str | None = None  # content hash, used for derived-table caching
 
     @property
     def has_seg(self) -> bool:
@@ -229,8 +230,16 @@ def _load_i2w(ldb: LdbContainer, params: dict[int, int]) -> I2wModel:
     )
 
 
-def load_model(path: str, validate: bool = True) -> Model:
-    ldb = LdbContainer.from_file(path, validate=validate)
+def load_bytes(image: bytes, validate: bool = True, use_cache: bool = True) -> Model:
+    from . import cache
+
+    key = cache.content_key(image, "model") if use_cache else None
+    if key:
+        hit = cache.load(key)
+        if hit is not None:
+            hit.source_key = key
+            return hit
+    ldb = LdbContainer.from_bytes(image, validate=validate)
     model = Model(ldb=ldb)
     if (p := ldb.section_params(Func.WBD)):
         model.wbd = _load_wbd(ldb, p)
@@ -240,4 +249,12 @@ def load_model(path: str, validate: bool = True) -> Model:
         model.w2h = _load_w2h(ldb, p)
     if (p := ldb.section_params(Func.I2W)):
         model.i2w = _load_i2w(ldb, p)
+    if key:
+        cache.store(key, model)
+        model.source_key = key
     return model
+
+
+def load_model(path: str, validate: bool = True, use_cache: bool = True) -> Model:
+    with open(path, "rb") as f:
+        return load_bytes(f.read(), validate=validate, use_cache=use_cache)

@@ -44,6 +44,21 @@ class CombTable:
         return len(self.owner)
 
 
+def build_comb_table_cached(aut: DenseAutomaton, model_key: str | None, tag: str) -> CombTable:
+    """build_comb_table memoized on the source model's content key."""
+    if model_key is None:
+        return build_comb_table(aut)
+    from ..models import cache
+
+    key = f"{model_key}-comb-{tag}"
+    hit = cache.load(key)
+    if hit is not None:
+        return hit
+    t = build_comb_table(aut)
+    cache.store(key, t)
+    return t
+
+
 def build_comb_table(aut: DenseAutomaton, fill_factor: float = 1.25) -> CombTable:
     """First-fit displacement packing of the automaton's transition rows."""
     # 1. dense input-weight alphabet

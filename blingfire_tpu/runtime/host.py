@@ -191,7 +191,8 @@ class SpTokenizer:
         seg = model.seg
         self.model = model
         self.seg = seg
-        self.comb = build_comb_table(seg.aut)
+        from ..ops.tables import build_comb_table_cached
+        self.comb = build_comb_table_cached(seg.aut, model.source_key, 'seg')
         self.max_token_len = _max_token_len(seg.aut)
         self.is_bpe = seg.tok_algo in (
             TokAlgo.BPE,

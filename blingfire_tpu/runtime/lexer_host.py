@@ -43,7 +43,8 @@ class LexerTpu:
         self.model = model
         self.wbd = model.wbd
         self.engine = LexerEngine(model.wbd)  # reuse fn2ini + scalar fallback
-        self.comb = build_comb_table(model.wbd.aut)
+        from ..ops.tables import build_comb_table_cached
+        self.comb = build_comb_table_cached(model.wbd.aut, model.source_key, 'wbd')
         self.tables = lexer_ops.make_device_tables(
             self.comb,
             model.wbd.aut.moore_ow,
