@@ -36,6 +36,17 @@ from ..ops.tables import CombTable
 
 INT32_MAX = np.int32(2**31 - 1)
 
+import os
+
+
+def _use_pallas() -> bool:
+    v = os.environ.get("BTL_PALLAS", "auto")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -187,16 +198,23 @@ def bpe_segment(
         survive = valid_slot
 
     # visited start positions under sequential fast-forwarding
-    def visit_step(nv, inp):
-        p, ffp = inp
-        vis = nv == p
-        nv = jnp.where(vis, jnp.maximum(ffp, p) + 1, nv)
-        return nv, vis
+    if _use_pallas():
+        from . import pallas_scans
 
-    _, visited_t = jax.lax.scan(
-        visit_step, jnp.zeros(B, jnp.int32), (pos, ff.T)
-    )
-    visited = visited_t.T & valid  # (B, N)
+        vis_all = pallas_scans.pointer_scan(ff, jnp.ones((B, N), bool))
+    else:
+
+        def visit_step(nv, inp):
+            p, ffp = inp
+            vis = nv == p
+            nv = jnp.where(vis, jnp.maximum(ffp, p) + 1, nv)
+            return nv, vis
+
+        _, visited_t = jax.lax.scan(
+            visit_step, jnp.zeros(B, jnp.int32), (pos, ff.T)
+        )
+        vis_all = visited_t.T
+    visited = vis_all & valid  # (B, N)
 
     survive = survive & visited[..., None]
 
@@ -290,25 +308,31 @@ def bpe_segment(
         word = jnp.take_along_axis(mask, (q // 32)[:, None], axis=1)[:, 0]
         return ((word >> (q % 32).astype(jnp.uint32)) & 1) == 1
 
-    def claim_step(mask, inp):
-        st, en, vd = inp  # (B,) each
-        q1 = jnp.clip(st, 0, N)
-        q2 = jnp.clip(en + 1, 0, N)
-        free1 = ~bit_at(mask, q1)
-        free2 = (en + 1 >= lengths) | ~bit_at(mask, q2)
-        claim = vd & free1 & free2
-        lo = jnp.clip(st[:, None] + 1 - 32 * warange, 0, 32)
-        hi = jnp.clip(en[:, None] + 1 - 32 * warange, 0, 32)
-        bits = subm(hi) & ~subm(lo)
-        mask = jnp.where(claim[:, None], mask | bits, mask)
-        return mask, claim
+    if _use_pallas():
+        from . import pallas_scans
 
-    _, claimed_t = jax.lax.scan(
-        claim_step,
-        jnp.zeros((B, W), jnp.uint32),
-        (s_start.T, s_end.T, s_valid.T),
-    )
-    claimed = claimed_t.T  # (B, a_max)
+        claimed = pallas_scans.claim_scan(s_start, s_end, s_valid, lengths, N)
+    else:
+
+        def claim_step(mask, inp):
+            st, en, vd = inp  # (B,) each
+            q1 = jnp.clip(st, 0, N)
+            q2 = jnp.clip(en + 1, 0, N)
+            free1 = ~bit_at(mask, q1)
+            free2 = (en + 1 >= lengths) | ~bit_at(mask, q2)
+            claim = vd & free1 & free2
+            lo = jnp.clip(st[:, None] + 1 - 32 * warange, 0, 32)
+            hi = jnp.clip(en[:, None] + 1 - 32 * warange, 0, 32)
+            bits = subm(hi) & ~subm(lo)
+            mask = jnp.where(claim[:, None], mask | bits, mask)
+            return mask, claim
+
+        _, claimed_t = jax.lax.scan(
+            claim_step,
+            jnp.zeros((B, W), jnp.uint32),
+            (s_start.T, s_end.T, s_valid.T),
+        )
+        claimed = claimed_t.T  # (B, a_max)
 
     # ------------------------------------------------------------------ EMIT
     # Claimed arcs write (tos, id) at their start; arcs claimed LATER in the
@@ -337,16 +361,23 @@ def bpe_segment(
     )
 
     # the emission walk: emit at p iff the walk visits p
-    def emit_step(nv, inp):
-        p, tos_p = inp  # (B,) each
-        em = nv == p
-        nv = jnp.where(em, jnp.maximum(tos_p, p) + 1, nv)
-        return nv, em
+    if _use_pallas():
+        from . import pallas_scans
 
-    _, emit_t = jax.lax.scan(
-        emit_step, jnp.zeros(B, jnp.int32), (pos, grid_tos.T)
-    )
-    tok_here = emit_t.T & valid
+        emit_all = pallas_scans.pointer_scan(grid_tos, jnp.ones((B, N), bool))
+    else:
+
+        def emit_step(nv, inp):
+            p, tos_p = inp  # (B,) each
+            em = nv == p
+            nv = jnp.where(em, jnp.maximum(tos_p, p) + 1, nv)
+            return nv, em
+
+        _, emit_t = jax.lax.scan(
+            emit_step, jnp.zeros(B, jnp.int32), (pos, grid_tos.T)
+        )
+        emit_all = emit_t.T
+    tok_here = emit_all & valid
     # left-compaction via prefix sum + scatter (no sort)
     out_slot = jnp.cumsum(tok_here.astype(jnp.int32), axis=1) - 1
     flat_o = jnp.where(
