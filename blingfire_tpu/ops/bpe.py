@@ -76,6 +76,8 @@ def make_device_tables(
     fast: bool,
     id_offset: int,
 ) -> BpeDeviceTables:
+    assert int(ids.max(initial=0)) < (1 << 20), "ids must fit the packed-slot layout"
+    assert max_len <= 128, "token depth must fit the packed-slot layout"
     return BpeDeviceTables(
         base=jnp.asarray(table.base, jnp.int32),
         owner=jnp.asarray(table.owner, jnp.int32),
@@ -131,8 +133,14 @@ def bpe_segment(
         d, state, *_ = st
         return (d < L) & jnp.any(state >= 0)
 
+    # match slots are PACKED into one int32 per slot to minimize the HBM
+    # traffic of the depth loop (the walk is bandwidth-bound):
+    #   bits 0..19  token id        (vocabularies < 2^20, checked at build)
+    #   bits 20..26 depth d         (max token length < 128)
+    #   bit  27     whole-token flag
+    # empty slot = -1
     def walk_body(st):
-        (d, state, sum_ow, count, m_end, m_id, m_rank, m_whole, overflow) = st
+        (d, state, sum_ow, count, m_pack, m_rank, overflow) = st
         c = jax.lax.dynamic_slice(x_pad, (0, d), (B, N))
         s_safe = jnp.maximum(state, 0)
         c_safe = jnp.maximum(c, 0)
@@ -144,18 +152,17 @@ def bpe_segment(
 
         key = jnp.clip(sum_ow, 0, nkeys - 1)
         mid = tables.ids_tab[key]
-        mrank = tables.ranks_tab[key]
         nxt_spm = jax.lax.dynamic_slice(spm_or_end, (0, d + 1), (B, N))
+        packed = mid | (d << 20) | (nxt_spm.astype(jnp.int32) << 27)
 
         onehot = (count[..., None] == jnp.arange(K1)[None, None, :]) & fin[..., None]
-        end_val = pos[None, :] + d  # match end position
-        m_end = jnp.where(onehot, end_val[..., None], m_end)
-        m_id = jnp.where(onehot, mid[..., None], m_id)
-        m_rank = jnp.where(onehot, mrank[..., None], m_rank)
-        m_whole = jnp.where(onehot, nxt_spm[..., None], m_whole)
+        m_pack = jnp.where(onehot, packed[..., None], m_pack)
+        if tables.with_merges:
+            mrank = tables.ranks_tab[key]
+            m_rank = jnp.where(onehot, mrank[..., None], m_rank)
         overflow = overflow | (fin & (count >= K1))
         count = count + fin.astype(jnp.int32)
-        return (d + 1, ns, sum_ow, count, m_end, m_id, m_rank, m_whole, overflow)
+        return (d + 1, ns, sum_ow, count, m_pack, m_rank, overflow)
 
     init_state = jnp.where(valid & (x_iw >= 0), 0, -1).astype(jnp.int32)
     # NOTE: initial state id is 0 by construction (densify_automaton)
@@ -164,15 +171,16 @@ def bpe_segment(
         init_state,
         jnp.zeros((B, N), jnp.int32),
         jnp.zeros((B, N), jnp.int32),
-        jnp.zeros((B, N, K1), jnp.int32),
         jnp.full((B, N, K1), -1, jnp.int32),
-        jnp.zeros((B, N, K1), jnp.float32),
-        jnp.zeros((B, N, K1), bool),
+        jnp.zeros((B, N, K1) if tables.with_merges else (1, 1, 1), jnp.float32),
         jnp.zeros((B, N), bool),
     )
-    (_, _, _, count, m_end, m_id, m_rank, m_whole, slot_overflow) = (
-        jax.lax.while_loop(walk_cond, walk_body, st0)
+    (_, _, _, count, m_pack, m_rank, slot_overflow) = jax.lax.while_loop(
+        walk_cond, walk_body, st0
     )
+    m_id = m_pack & 0xFFFFF
+    m_end = pos[None, :, None] + ((m_pack >> 20) & 0x7F)
+    m_whole = ((m_pack >> 27) & 1) == 1
 
     # ---------------------------------------------------------------- FILTER
     karange = jnp.arange(K1)[None, None, :]
@@ -236,7 +244,11 @@ def bpe_segment(
     r_start = jnp.broadcast_to(pos[None, :, None], (B, N, K1)).reshape(B, N * K1)
     r_end = m_end.reshape(B, N * K1)
     r_id = m_id.reshape(B, N * K1)
-    r_rank = m_rank.reshape(B, N * K1)
+    r_rank = (
+        m_rank.reshape(B, N * K1)
+        if tables.with_merges
+        else jnp.zeros((B, N * K1), jnp.float32)
+    )
     r_valid = survive.reshape(B, N * K1)
 
     u_start = jnp.broadcast_to(pos[None, :], (B, N))

@@ -1,7 +1,7 @@
 """Pallas TPU kernels for the sequential phases of the segmenters.
 
-The XLA lax.scan formulation pays per-step dispatch overhead (~µs) for steps
-that are only a handful of vector ops; fused Pallas loops run them as
+The XLA lax.scan formulation pays per-step dispatch overhead (several µs) for
+steps that are only a handful of vector ops; fused Pallas loops run them as
 straight VPU code.  Two primitives cover every scan in the tokenizers:
 
   claim_scan    — the BPE greedy non-overlap resolution: per arc, test two
@@ -12,8 +12,8 @@ straight VPU code.  Two primitives cover every scan in the tokenizers:
                   where cursor == position, advance cursor by a per-position
                   target (max(t, p) + 1).
 
-Both operate on a (B, ...) batch tile per grid program; CPU tests run the
-same kernels in interpreter mode.
+Kernels tile the batch dimension over the grid so VMEM blocks stay small;
+CPU tests run the same kernels in interpreter mode.
 """
 
 from __future__ import annotations
@@ -26,9 +26,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+TILE_B = 1024
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _pad_rows(x, tb):
+    B = x.shape[0]
+    pad = (-B) % tb
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x, B
 
 
 # -------------------------------------------------------------------- claim
@@ -38,7 +48,6 @@ def _claim_kernel(W: int, N: int, start_ref, end_ref, valid_ref, len_ref, out_re
     TB, A = start_ref.shape
 
     def bit_at(mask, q):
-        # mask: (TB, W) uint32; q: (TB,) position in [0, N]
         wi = q // 32
         bi = (q % 32).astype(jnp.uint32)
         word = jnp.zeros((TB,), jnp.uint32)
@@ -73,21 +82,29 @@ def _claim_kernel(W: int, N: int, start_ref, end_ref, valid_ref, len_ref, out_re
 
 def claim_scan(s_start, s_end, s_valid, lengths, n_positions: int):
     """Greedy claim over sorted arcs.  Shapes: (B, A) + (B,) -> (B, A) bool."""
-    B, A = s_start.shape
+    B0, A = s_start.shape
     W = (n_positions + 1 + 31) // 32
+    tb = min(TILE_B, B0)
+    s_start, _ = _pad_rows(s_start, tb)
+    s_end, _ = _pad_rows(s_end, tb)
+    s_valid, _ = _pad_rows(s_valid.astype(jnp.int32), tb)
+    lens2, _ = _pad_rows(lengths[:, None], tb)
+    B = s_start.shape[0]
     kernel = functools.partial(_claim_kernel, W, n_positions)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
+        grid=(B // tb,),
         out_shape=jax.ShapeDtypeStruct((B, A), jnp.bool_),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, A), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, A), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, A), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tb, A), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(s_start, s_end, s_valid.astype(jnp.int32), lengths[:, None])
+    )(s_start, s_end, s_valid, lens2)
+    return out[:B0]
 
 
 # ------------------------------------------------------------- pointer scan
@@ -108,14 +125,20 @@ def _pointer_kernel(targets_ref, valid_ref, out_ref):
 def pointer_scan(targets, valid):
     """Cursor walk: emit[p] = visited; cursor jumps to max(targets[p], p)+1.
     Shapes: (B, N) int32 + (B, N) bool -> (B, N) bool."""
-    B, N = targets.shape
-    return pl.pallas_call(
+    B0, N = targets.shape
+    tb = min(TILE_B, B0)
+    targets, _ = _pad_rows(targets, tb)
+    valid, _ = _pad_rows(valid.astype(jnp.int32), tb)
+    B = targets.shape[0]
+    out = pl.pallas_call(
         _pointer_kernel,
+        grid=(B // tb,),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.bool_),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tb, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(targets, valid.astype(jnp.int32))
+    )(targets, valid)
+    return out[:B0]
