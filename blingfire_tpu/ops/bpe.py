@@ -205,24 +205,22 @@ def bpe_segment(
         ff = jnp.broadcast_to(pos[None, :], (B, N))
         survive = valid_slot
 
-    # visited start positions under sequential fast-forwarding
-    if _use_pallas():
-        from . import pallas_scans
-
-        vis_all = pallas_scans.pointer_scan(ff, jnp.ones((B, N), bool))
-    else:
-
-        def visit_step(nv, inp):
-            p, ffp = inp
-            vis = nv == p
-            nv = jnp.where(vis, jnp.maximum(ffp, p) + 1, nv)
-            return nv, vis
-
-        _, visited_t = jax.lax.scan(
-            visit_step, jnp.zeros(B, jnp.int32), (pos, ff.T)
-        )
-        vis_all = visited_t.T
-    visited = vis_all & valid  # (B, N)
+    # visited start positions under sequential fast-forwarding.  Closed form:
+    # a skip region (q, ff[q]] hides the positions after a fired whole-token
+    # start q, so visited[p] = max_{q<p} ff[q] < p (exclusive cummax).  This
+    # is exact unless a fired start q' INSIDE another skip region extends
+    # coverage further (ff[q'] > running max) — only possible with vocabulary
+    # tokens spanning multiple ▁-words; such documents fall back.
+    ff_eff = jnp.where(ff > pos[None, :], ff, -1)
+    cummax_incl = jax.lax.cummax(ff_eff, axis=1)
+    cover_before = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), cummax_incl[:, :-1]], axis=1
+    )
+    visited = (cover_before < pos[None, :]) & valid  # (B, N)
+    anomaly = jnp.any(
+        (ff_eff >= 0) & (cover_before >= pos[None, :]) & (ff_eff > cover_before),
+        axis=1,
+    )
 
     survive = survive & visited[..., None]
 
@@ -323,28 +321,47 @@ def bpe_segment(
     if _use_pallas():
         from . import pallas_scans
 
-        claimed = pallas_scans.claim_scan(s_start, s_end, s_valid, lengths, N)
+        claimed, int_mask = pallas_scans.claim_scan(
+            s_start, s_end, s_valid, lengths, N
+        )
     else:
+        # while-loop with a data-dependent bound: arcs are sorted with all
+        # invalid slots at the end, so iterate only to the largest per-batch
+        # arc count instead of a_max
+        limit = jnp.minimum(jnp.max(n_arcs), a_max).astype(jnp.int32)
 
-        def claim_step(mask, inp):
-            st, en, vd = inp  # (B,) each
-            q1 = jnp.clip(st, 0, N)
+        def claim_cond(st):
+            a, _mask, _claimed = st
+            return a < limit
+
+        def claim_step(st):
+            a, mask, claimed_acc = st
+            stt = jax.lax.dynamic_index_in_dim(s_start, a, axis=1, keepdims=False)
+            en = jax.lax.dynamic_index_in_dim(s_end, a, axis=1, keepdims=False)
+            vd = jax.lax.dynamic_index_in_dim(s_valid, a, axis=1, keepdims=False)
+            q1 = jnp.clip(stt, 0, N)
             q2 = jnp.clip(en + 1, 0, N)
             free1 = ~bit_at(mask, q1)
             free2 = (en + 1 >= lengths) | ~bit_at(mask, q2)
             claim = vd & free1 & free2
-            lo = jnp.clip(st[:, None] + 1 - 32 * warange, 0, 32)
+            lo = jnp.clip(stt[:, None] + 1 - 32 * warange, 0, 32)
             hi = jnp.clip(en[:, None] + 1 - 32 * warange, 0, 32)
             bits = subm(hi) & ~subm(lo)
             mask = jnp.where(claim[:, None], mask | bits, mask)
-            return mask, claim
+            claimed_acc = jax.lax.dynamic_update_index_in_dim(
+                claimed_acc, claim, a, axis=1
+            )
+            return (a + 1, mask, claimed_acc)
 
-        _, claimed_t = jax.lax.scan(
+        _, int_mask, claimed = jax.lax.while_loop(
+            claim_cond,
             claim_step,
-            jnp.zeros((B, W), jnp.uint32),
-            (s_start.T, s_end.T, s_valid.T),
+            (
+                jnp.int32(0),
+                jnp.zeros((B, W), jnp.uint32),
+                jnp.zeros((B, a_max), bool),
+            ),
         )
-        claimed = claimed_t.T  # (B, a_max)
 
     # ------------------------------------------------------------------ EMIT
     # Claimed arcs write (tos, id) at their start; arcs claimed LATER in the
@@ -372,24 +389,21 @@ def bpe_segment(
         has_win, jnp.take_along_axis(s_end, win_safe, axis=1), 0
     )
 
-    # the emission walk: emit at p iff the walk visits p
-    if _use_pallas():
-        from . import pallas_scans
+    # Emission: the tos-walk visits exactly the claimed starts that are not
+    # interior to any claimed arc (claimed arcs cannot partially overlap;
+    # same-start claims only ever grow, so the winning arc at a start covers
+    # every arc it swallowed — the walk provably lands on non-interior
+    # winning starts when every position is covered, which the single-symbol
+    # vocabulary coverage guarantees).  No scan needed.
+    def interior_bit(mask, p_grid):
+        word = jnp.zeros((B, N), jnp.uint32)
+        for w in range(W):
+            sel = (p_grid // 32) == w
+            word = jnp.where(sel, mask[:, w : w + 1], word)
+        return ((word >> (p_grid % 32).astype(jnp.uint32)) & 1) == 1
 
-        emit_all = pallas_scans.pointer_scan(grid_tos, jnp.ones((B, N), bool))
-    else:
-
-        def emit_step(nv, inp):
-            p, tos_p = inp  # (B,) each
-            em = nv == p
-            nv = jnp.where(em, jnp.maximum(tos_p, p) + 1, nv)
-            return nv, em
-
-        _, emit_t = jax.lax.scan(
-            emit_step, jnp.zeros(B, jnp.int32), (pos, grid_tos.T)
-        )
-        emit_all = emit_t.T
-    tok_here = emit_all & valid
+    p_grid = jnp.broadcast_to(pos[None, :], (B, N))
+    tok_here = has_win & ~interior_bit(int_mask, p_grid) & valid
     # left-compaction via prefix sum + scatter (no sort)
     out_slot = jnp.cumsum(tok_here.astype(jnp.int32), axis=1) - 1
     flat_o = jnp.where(
@@ -408,5 +422,5 @@ def bpe_segment(
     out_ends = emit_compact(grid_tos, 0)
     counts = jnp.sum(tok_here, axis=1).astype(jnp.int32)
 
-    fallback = jnp.any(slot_overflow & valid, axis=1) | arc_overflow
+    fallback = jnp.any(slot_overflow & valid, axis=1) | arc_overflow | anomaly
     return out_ids, out_starts, out_ends, counts, fallback

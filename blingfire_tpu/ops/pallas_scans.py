@@ -44,7 +44,9 @@ def _pad_rows(x, tb):
 # -------------------------------------------------------------------- claim
 
 
-def _claim_kernel(W: int, N: int, start_ref, end_ref, valid_ref, len_ref, out_ref):
+def _claim_kernel(
+    W: int, N: int, start_ref, end_ref, valid_ref, len_ref, out_ref, mask_ref
+):
     TB, A = start_ref.shape
 
     def bit_at(mask, q):
@@ -60,24 +62,35 @@ def _claim_kernel(W: int, N: int, start_ref, end_ref, valid_ref, len_ref, out_re
         return jnp.where(nb >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << nbs) - 1)
 
     lens = len_ref[:, 0]
+    out_ref[:, :] = jnp.zeros((TB, A), jnp.bool_)
+    # arcs are sorted valid-first: iterate only to this tile's max arc count
+    limit = jnp.max(jnp.sum(valid_ref[:, :], axis=1)).astype(jnp.int32)
 
-    def body(a, mask):
-        st = start_ref[:, a]
+    def cond(st):
+        a, _m = st
+        return a < limit
+
+    def body(st):
+        a, mask = st
+        stt = start_ref[:, a]
         en = end_ref[:, a]
         vd = valid_ref[:, a] != 0
-        free1 = ~bit_at(mask, jnp.clip(st, 0, N))
+        free1 = ~bit_at(mask, jnp.clip(stt, 0, N))
         free2 = (en + 1 >= lens) | ~bit_at(mask, jnp.clip(en + 1, 0, N))
         claim = vd & free1 & free2
         cols = []
         for w in range(W):
-            lo = jnp.clip(st + 1 - 32 * w, 0, 32)
+            lo = jnp.clip(stt + 1 - 32 * w, 0, 32)
             hi = jnp.clip(en + 1 - 32 * w, 0, 32)
             bits = subm(hi) & ~subm(lo)
             cols.append(jnp.where(claim, mask[:, w] | bits, mask[:, w]))
         out_ref[:, a] = claim
-        return jnp.stack(cols, axis=1)
+        return (a + 1, jnp.stack(cols, axis=1))
 
-    jax.lax.fori_loop(0, A, body, jnp.zeros((TB, W), jnp.uint32))
+    _, final_mask = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((TB, W), jnp.uint32))
+    )
+    mask_ref[:, :] = final_mask
 
 
 def claim_scan(s_start, s_end, s_valid, lengths, n_positions: int):
@@ -91,20 +104,26 @@ def claim_scan(s_start, s_end, s_valid, lengths, n_positions: int):
     lens2, _ = _pad_rows(lengths[:, None], tb)
     B = s_start.shape[0]
     kernel = functools.partial(_claim_kernel, W, n_positions)
-    out = pl.pallas_call(
+    out, mask = pl.pallas_call(
         kernel,
         grid=(B // tb,),
-        out_shape=jax.ShapeDtypeStruct((B, A), jnp.bool_),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, A), jnp.bool_),
+            jax.ShapeDtypeStruct((B, W), jnp.uint32),
+        ),
         in_specs=[
             pl.BlockSpec((tb, A), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, A), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, A), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tb, A), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((tb, A), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
         interpret=_interpret(),
     )(s_start, s_end, s_valid, lens2)
-    return out[:B0]
+    return out[:B0], mask[:B0]
 
 
 # ------------------------------------------------------------- pointer scan
