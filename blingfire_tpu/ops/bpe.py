@@ -48,6 +48,16 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _gather_mode() -> bool:
+    """Prefer sort/gather/reduction formulations over scatters (TPU)."""
+    v = os.environ.get("BTL_GATHER", "auto")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class BpeDeviceTables:
@@ -261,47 +271,69 @@ def bpe_segment(
     ranks = jnp.concatenate([r_rank, u_rank], axis=1)
     avalid = jnp.concatenate([r_valid, u_valid], axis=1)
 
-    # compact surviving arcs into (B, a_max) slots with a prefix sum —
-    # avoids sorting the full N*(K1+1)-wide slab (the sort used to dominate
-    # the whole kernel)
-    slot_pos = jnp.cumsum(avalid.astype(jnp.int32), axis=1) - 1
     n_arcs = jnp.sum(avalid, axis=1)
     arc_overflow = n_arcs > a_max
-    keep_arc = avalid & (slot_pos < a_max)
-    flat_b2 = jnp.broadcast_to(
-        jnp.arange(B, dtype=jnp.int32)[:, None], avalid.shape
-    )
-    flat_dst = jnp.where(keep_arc, flat_b2 * a_max + slot_pos, B * a_max)
 
-    def compact(src, fill):
-        return (
-            jnp.full(B * a_max + 1, fill, src.dtype)
-            .at[flat_dst.reshape(-1)]
-            .set(src.reshape(-1), mode="drop")[: B * a_max]
-            .reshape(B, a_max)
-        )
+    # sort key: (merge-rank desc,) id asc, start asc — packed into one int32
+    # (id < 2^20, start < N; N * max_id < 2^31 checked at build)
+    key2 = jnp.where(avalid, ids * jnp.int32(N) + starts, INT32_MAX)
+    NS = avalid.shape[1]
+    idx0 = jnp.broadcast_to(jnp.arange(NS, dtype=jnp.int32)[None, :], (B, NS))
 
-    c_start = compact(starts, 0)
-    c_end = compact(ends, 0)
-    c_id = compact(ids, 0)
-    c_valid = compact(avalid, False)
-
-    # sort the compacted arcs by (merge-rank desc,) id asc, start asc with a
-    # packed key + row index, then gather payloads
-    key2 = jnp.where(
-        c_valid, c_id * jnp.int32(N) + c_start, INT32_MAX
-    )  # id < 2^20, start < N: fits int32 for N*maxid < 2^31
-    idx0 = jnp.broadcast_to(jnp.arange(a_max, dtype=jnp.int32)[None, :], (B, a_max))
-    if tables.with_merges:
-        c_rank = compact(ranks, 0.0)
-        key_rank = jnp.where(c_valid, _float_desc_key(c_rank), INT32_MAX)
-        _, _, s_idx = jax.lax.sort([key_rank, key2, idx0], dimension=1, num_keys=2)
+    if _gather_mode():
+        # TPU: XLA scatters are serialized and catastrophically slow, while
+        # sorts and gathers are fast — sort the full arc slab once and slice
+        # the top a_max entries
+        if tables.with_merges:
+            key_rank = jnp.where(avalid, _float_desc_key(ranks), INT32_MAX)
+            _, _, s_idx = jax.lax.sort(
+                [key_rank, key2, idx0], dimension=1, num_keys=2
+            )
+        else:
+            _, s_idx = jax.lax.sort([key2, idx0], dimension=1, num_keys=1)
+        s_idx = s_idx[:, :a_max]
+        s_start = jnp.take_along_axis(starts, s_idx, axis=1)
+        s_end = jnp.take_along_axis(ends, s_idx, axis=1)
+        s_id = jnp.take_along_axis(ids, s_idx, axis=1)
+        s_valid = jnp.take_along_axis(avalid, s_idx, axis=1)
     else:
-        _, s_idx = jax.lax.sort([key2, idx0], dimension=1, num_keys=1)
-    s_start = jnp.take_along_axis(c_start, s_idx, axis=1)
-    s_end = jnp.take_along_axis(c_end, s_idx, axis=1)
-    s_id = jnp.take_along_axis(c_id, s_idx, axis=1)
-    s_valid = jnp.take_along_axis(c_valid, s_idx, axis=1)
+        # CPU: scatter-compact the valid arcs first (scatters are cheap
+        # there), then sort only the (B, a_max) slab
+        slot_pos = jnp.cumsum(avalid.astype(jnp.int32), axis=1) - 1
+        keep_arc = avalid & (slot_pos < a_max)
+        flat_b2 = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], avalid.shape
+        )
+        flat_dst = jnp.where(keep_arc, flat_b2 * a_max + slot_pos, B * a_max)
+
+        def compact(src, fill):
+            return (
+                jnp.full(B * a_max + 1, fill, src.dtype)
+                .at[flat_dst.reshape(-1)]
+                .set(src.reshape(-1), mode="drop")[: B * a_max]
+                .reshape(B, a_max)
+            )
+
+        c_start = compact(starts, 0)
+        c_end = compact(ends, 0)
+        c_id = compact(ids, 0)
+        c_valid = compact(avalid, False)
+        ckey2 = jnp.where(c_valid, c_id * jnp.int32(N) + c_start, INT32_MAX)
+        cidx0 = jnp.broadcast_to(
+            jnp.arange(a_max, dtype=jnp.int32)[None, :], (B, a_max)
+        )
+        if tables.with_merges:
+            c_rank = compact(ranks, 0.0)
+            key_rank = jnp.where(c_valid, _float_desc_key(c_rank), INT32_MAX)
+            _, _, s_idx = jax.lax.sort(
+                [key_rank, ckey2, cidx0], dimension=1, num_keys=2
+            )
+        else:
+            _, s_idx = jax.lax.sort([ckey2, cidx0], dimension=1, num_keys=1)
+        s_start = jnp.take_along_axis(c_start, s_idx, axis=1)
+        s_end = jnp.take_along_axis(c_end, s_idx, axis=1)
+        s_id = jnp.take_along_axis(c_id, s_idx, axis=1)
+        s_valid = jnp.take_along_axis(c_valid, s_idx, axis=1)
 
     # ----------------------------------------------------------------- CLAIM
     W = (N + 1 + 31) // 32
@@ -370,24 +402,41 @@ def bpe_segment(
     # unreachable).  Then tokens are emitted by walking pos 0 -> tos+1 -> …
     # (…_bpe_t.h:274-313).
     keep = claimed & s_valid
-    # last-claim-wins per start: scatter-max the claim ORDER index into a
-    # per-start grid, then gather that winning arc's payload
+    # last-claim-wins per start: the winning arc at start p is the one with
+    # the largest claim-order index
     idx = jnp.broadcast_to(jnp.arange(a_max, dtype=jnp.int32)[None, :], (B, a_max))
-    flat_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, a_max))
-    flat_idx = jnp.where(keep, flat_b * N + s_start, B * N)
-    win = (
-        jnp.full(B * N + 1, -1, jnp.int32).at[flat_idx.reshape(-1)]
-        .max(idx.reshape(-1), mode="drop")[: B * N]
-        .reshape(B, N)
-    )
-    has_win = win >= 0
-    win_safe = jnp.maximum(win, 0)
-    grid_id = jnp.where(
-        has_win, jnp.take_along_axis(s_id, win_safe, axis=1), unk_id
-    )
-    grid_tos = jnp.where(
-        has_win, jnp.take_along_axis(s_end, win_safe, axis=1), 0
-    )
+    if _gather_mode():
+        # reduction formulation (TPU: no scatters): win[p] = max over arcs
+        # a of (keep[a] and start[a]==p ? a : -1), payloads via a second
+        # "value-at-argmax" reduction.  XLA fuses the (B, N, A) broadcasts
+        # into the reductions without materializing them.
+        start_b = s_start[:, None, :]  # (B, 1, A)
+        keep_b = keep[:, None, :]
+        p_q = pos[None, :, None]  # (1, N, 1)
+        hitm = keep_b & (start_b == p_q)  # (B, N, A)
+        win = jnp.max(jnp.where(hitm, idx[:, None, :], -1), axis=2)  # (B, N)
+        has_win = win >= 0
+        sel = hitm & (idx[:, None, :] == win[:, :, None])
+        grid_id = jnp.where(
+            has_win, jnp.sum(jnp.where(sel, s_id[:, None, :], 0), axis=2), unk_id
+        )
+        grid_tos = jnp.sum(jnp.where(sel, s_end[:, None, :], 0), axis=2)
+    else:
+        flat_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, a_max))
+        flat_idx = jnp.where(keep, flat_b * N + s_start, B * N)
+        win = (
+            jnp.full(B * N + 1, -1, jnp.int32).at[flat_idx.reshape(-1)]
+            .max(idx.reshape(-1), mode="drop")[: B * N]
+            .reshape(B, N)
+        )
+        has_win = win >= 0
+        win_safe = jnp.maximum(win, 0)
+        grid_id = jnp.where(
+            has_win, jnp.take_along_axis(s_id, win_safe, axis=1), unk_id
+        )
+        grid_tos = jnp.where(
+            has_win, jnp.take_along_axis(s_end, win_safe, axis=1), 0
+        )
 
     # Emission: the tos-walk visits exactly the claimed starts that are not
     # interior to any claimed arc (claimed arcs cannot partially overlap;
@@ -404,18 +453,31 @@ def bpe_segment(
 
     p_grid = jnp.broadcast_to(pos[None, :], (B, N))
     tok_here = has_win & ~interior_bit(int_mask, p_grid) & valid
-    # left-compaction via prefix sum + scatter (no sort)
+    # left-compaction of emitted tokens
     out_slot = jnp.cumsum(tok_here.astype(jnp.int32), axis=1) - 1
-    flat_o = jnp.where(
-        tok_here, jnp.arange(B, dtype=jnp.int32)[:, None] * N + out_slot, B * N
-    )
+    if _gather_mode():
+        # sort-based compaction (TPU): order positions by (emitted? slot :
+        # INF) and gather payloads
+        ckey = jnp.where(tok_here, out_slot, INT32_MAX)
+        posn = jnp.broadcast_to(pos[None, :], (B, N))
+        _, src_pos = jax.lax.sort([ckey, posn], dimension=1, num_keys=1)
+        emitted = jnp.take_along_axis(tok_here, src_pos, axis=1)
 
-    def emit_compact(src, fill):
-        return (
-            jnp.full(B * N + 1, fill, src.dtype).at[flat_o.reshape(-1)]
-            .set(src.reshape(-1), mode="drop")[: B * N]
-            .reshape(B, N)
+        def emit_compact(srcv, fill):
+            v = jnp.take_along_axis(srcv, src_pos, axis=1)
+            return jnp.where(emitted, v, fill)
+
+    else:
+        flat_o = jnp.where(
+            tok_here, jnp.arange(B, dtype=jnp.int32)[:, None] * N + out_slot, B * N
         )
+
+        def emit_compact(srcv, fill):
+            return (
+                jnp.full(B * N + 1, fill, srcv.dtype).at[flat_o.reshape(-1)]
+                .set(srcv.reshape(-1), mode="drop")[: B * N]
+                .reshape(B, N)
+            )
 
     out_ids = emit_compact(grid_id, 0) + tables.id_offset
     out_starts = emit_compact(jnp.broadcast_to(pos[None, :], (B, N)), 0)
