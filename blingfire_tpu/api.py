@@ -13,16 +13,20 @@ face plus batched TPU entry points.
   normalize_spaces(text)     ~ NormalizeSpaces
   text_to_hashes(text)       ~ TextToHashes
   get_version()              ~ GetBlingFireTokVersion
+  normalize_text(text, algo) ~ FAStrUtf8Normalize (diacritics maps)
+  to_lower/to_upper/...      ~ FAUtf32ToLower/ToUpper/IsLower/IsUpper
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from .formats.consts import SP_DELIMITER, DEFAULT_HYPHEN, is_whitespace
+from .formats.consts import SP_DELIMITER, DEFAULT_HYPHEN, NormAlgo, is_whitespace
 from .models.loader import Model, load_model as _load_model
+from .runtime.casefold import is_lower, is_upper, to_lower, to_upper
 from .runtime.hyph import HYPH_NO_HYPH, HyphEngine
 from .runtime.lexer import LexerOracleApi
+from .runtime.normalize import normalize_text
 from .runtime.oracle import SpTokenizerOracle, utf8_to_utf32
 
 VERSION = (1, 0)
@@ -97,7 +101,12 @@ class TokenizerHandle:
     ):
         if self.model.has_seg:
             return self._sp_oracle.text_to_ids_with_offsets(text, max_len, unk_id)
-        raise NotImplementedError("wp offsets pending")
+        assert self._lexer is not None, "model has no tokenizer sections"
+        if isinstance(text, str):
+            text = text.encode("utf-8")
+        return self._lexer.text_to_ids_with_offsets(
+            text, max_len if max_len is not None else 1 << 30, unk_id
+        )
 
     def text_to_ids_batch(
         self, docs: list[bytes | str], unk_id: int = 0

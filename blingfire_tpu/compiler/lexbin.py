@@ -70,8 +70,10 @@ def compile_lex_model(
     if charmap is not None:
         stream += [Param.CHARMAP, 3]
     if extra_params:
+        # valueless flag params (e.g. ignore-case) are key-only in the conf
+        # stream (FAWbdConfKeeper.cpp:90-93); pass value None for those
         for k, v in extra_params.items():
-            stream += [k, v]
+            stream += [k] if v is None else [k, v]
     conf = {int(Func.WBD): stream}
     if validate:
         conf[int(Func.GLOBAL)] = [int(Param.VERIFY_LDB_BIN)]

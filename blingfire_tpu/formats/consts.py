@@ -203,6 +203,13 @@ class TokAlgo(enum.IntEnum):
     BPE_OPT_WITH_MERGES = 5
 
 
+class NormAlgo(enum.IntEnum):
+    # FAFsmConst.h:396-399 (diacritics normalization, FAStrUtf8Normalize)
+    DEFAULT = 0
+    PRESERVE_DIACRITICS = 1
+    REMOVE_DIACRITICS = 2
+
+
 # product-level constants (blingfiretokdll.cpp:39-40, blingfiretokdll.h:10-14)
 WBD_WORD_TAG = 1
 WBD_IGNORE_TAG = 4

@@ -86,6 +86,10 @@ class WbdModel:
     def ignore_tag(self) -> int:
         return self.params.get(Param.IGNORE, 0)
 
+    @property
+    def ignore_case(self) -> bool:
+        return bool(self.params.get(Param.IGNORE_CASE, 0))
+
 
 @dataclass
 class HyphModel:

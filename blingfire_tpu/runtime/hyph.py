@@ -55,7 +55,11 @@ class HyphEngine:
             return None
         seq = [self.left_anchor] + list(word) + [self.right_anchor]
         if self.ignore_case:
-            raise NotImplementedError("w2h ignore-case")
+            # case fold before charmap (FAHyphInterpreter_core_t.h:165-170)
+            from .casefold import to_lower
+
+            for i in range(1, n + 1):
+                seq[i] = to_lower(seq[i])
         if self.m.charmap is not None:
             cm = self.m.charmap
             for i in range(1, n + 1):
@@ -146,6 +150,10 @@ class HyphTpu:
         wl = np.zeros(B, np.int32)
         for k, i in enumerate(todo):
             w = list(words[i])
+            if eng.ignore_case:
+                from .casefold import to_lower
+
+                w = [to_lower(c) for c in w]
             if cm is not None:
                 for j, c in enumerate(w):
                     v = cm.get(c)

@@ -21,6 +21,7 @@ from ..formats.consts import (
     is_whitespace,
 )
 from ..models.loader import Model, WbdModel
+from .casefold import to_lower
 from .oracle import TransitionIndex, normalize, utf8_to_utf32
 
 MIN_ACT_SIZE = 3
@@ -38,6 +39,7 @@ class LexerEngine:
         self.acts = model.acts
         self.max_depth = model.max_depth
         self.max_token_length = model.max_token_length
+        self.ignore_case = model.ignore_case
         self.initial = model.aut.initial
         self.fn2ini = self._calc_fn_ini()
 
@@ -146,6 +148,8 @@ class LexerEngine:
                 iw = seq[lo + j]
                 if iw < Iw.EPSILON:
                     iw = Iw.EPSILON  # control-weight guard (FALexTools_t.h:259-261)
+                if self.ignore_case:
+                    iw = to_lower(iw)  # FALexTools_t.h:262-264
                 dst = self.dest_any(state, iw)
                 if dst == -1:
                     break

@@ -70,8 +70,12 @@ class LexerTpu:
         return np.where(v < 0, self._n_iws, v).astype(np.int32)
 
     def encode_chars(self, cps: np.ndarray) -> np.ndarray:
-        """guard control weights then remap (FALexTools_t.h:259-261)."""
+        """guard control weights, case-fold, then remap (FALexTools_t.h:259-264)."""
         guarded = np.where(cps < int(Iw.EPSILON), int(Iw.EPSILON), cps)
+        if self.wbd.ignore_case:
+            from .casefold import str_lower
+
+            guarded = str_lower(guarded)
         return self._map_raw(guarded)
 
     # -- batched multi-level processing ------------------------------------
