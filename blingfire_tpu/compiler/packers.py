@@ -235,6 +235,77 @@ def pack_mealy_dfa(
     return bytes(out)
 
 
+def pack_moore_mdfa(
+    n_states: int,
+    initial: int,
+    final: np.ndarray,
+    edges: dict[int, list[tuple[int, int]]],  # src -> [(iw, dst)]
+    state_ows: dict[int, list[int]],  # src -> sorted Ows set (absent = none)
+    dst_size: int = 3,
+) -> bytes:
+    """Packed multi-Moore automaton (FADfaPack_triv layout, PARA states).
+
+    Like the Mealy image, the trailing Ow slot of a state holds an offset
+    into a chains store appended after the body — but here the chain is the
+    *state's* Ows set, read back by FAState2Ows_pack_triv::GetOws
+    (blingfireclient.library/src/FAState2Ows_pack_triv.cpp:46-170)."""
+    assert initial == 0, "state 0 must be the initial state"
+    all_iws = sorted({iw for es in edges.values() for (iw, _d) in es})
+    assert all_iws, "empty automaton"
+    ranges = _alphabet_ranges(np.array(all_iws))
+
+    ows = ChainsWriter(4)
+
+    header_size = 12 + 8 * len(ranges)
+    state_meta = []
+    for s in range(n_states):
+        es = sorted(edges.get(s, []))
+        owset = state_ows.get(s)
+        if owset is not None:
+            ow_off = ows.add(sorted(owset))
+            ow_size = 1 if ow_off <= 0x7F else 2 if ow_off <= 0x7FFF else 4
+        else:
+            ow_off, ow_size = None, 0
+        if es:
+            max_iw = max(iw for iw, _d in es)
+            iw_size, iw_code = _iw_size_code(max_iw)
+            size = 1 + iw_size * (1 + len(es)) + dst_size * len(es) + ow_size
+        else:
+            iw_size, iw_code = 1, 0
+            size = 1 + ow_size
+        state_meta.append((es, iw_size, iw_code, ow_off, ow_size, size))
+
+    offsets = np.zeros(n_states, np.int64)
+    pos = header_size
+    for s in range(n_states):
+        offsets[s] = pos
+        pos += state_meta[s][5]
+    body_end = pos
+
+    out = bytearray()
+    out += struct.pack("<iii", dst_size, body_end, 2 * len(ranges))
+    for a, b in ranges:
+        out += struct.pack("<ii", a, b)
+    dead = (1 << (8 * dst_size)) - 1
+    for s in range(n_states):
+        es, iw_size, iw_code, ow_off, ow_size, _sz = state_meta[s]
+        info = (TRS_PARA if es else 0) | (iw_code << 3) | (_ow_code(ow_size) << 5)
+        if final[s]:
+            info |= 0x80
+        out += bytes([info])
+        if es:
+            out += _le(len(es) - 1, iw_size)
+            for iw, _d in es:
+                out += _le(iw, iw_size)
+            for _iw, d in es:
+                out += _be(int(offsets[d]) if d >= 0 else dead, dst_size)
+        if ow_size:
+            out += _le(ow_off, ow_size)
+    assert len(out) == body_end
+    out += ows.dump()
+    return bytes(out)
+
+
 def pack_iw_map(entries: list[tuple[int, int]]) -> bytes:
     """FAIwMapPack dump: sorted (old_iw, new_iw) pairs -> interval-compressed
     map (read side: blingfireclient.library/src/FAIwMap_pack.cpp:35-88).

@@ -144,6 +144,16 @@ class PackedDfaImage:
             out = np.where(v == 0, NONE, out)
         return out
 
+    def moore_ows(self, st: PackedState) -> np.ndarray | None:
+        """Multi-Moore reaction set of a state (FAState2Ows_pack_triv).
+
+        The trailing Ow slot holds an offset into the chains store; the whole
+        chain is the state's Ows set (FAState2Ows_pack_triv.cpp:130-170).
+        Returns None when the state has no reaction."""
+        if st.ow is None or self.ows is None:
+            return None
+        return self.ows.unpack(st.ow)
+
     def mealy_ows(self, st: PackedState) -> np.ndarray:
         """Per-transition output weights of a Mealy state.
 
@@ -173,13 +183,19 @@ class DenseAutomaton:
     alphabet_ranges: np.ndarray  # (k,2) original-iw [from,to] ranges
     iw2iw: np.ndarray | None  # dense original->internal iw map or None
     state_offsets: np.ndarray  # dense id -> byte offset (for debugging)
+    # multi-Moore reaction sets in CSR form (None unless multi_moore=True):
+    # state s reacts with ows_val[ows_ptr[s]:ows_ptr[s+1]] (empty = none)
+    ows_ptr: np.ndarray | None = None
+    ows_val: np.ndarray | None = None
 
     @property
     def max_iw(self) -> int:
         return int(self.edge_iw.max()) if len(self.edge_iw) else 0
 
 
-def densify_automaton(img: PackedDfaImage, mealy: bool = False) -> DenseAutomaton:
+def densify_automaton(
+    img: PackedDfaImage, mealy: bool = False, multi_moore: bool = False
+) -> DenseAutomaton:
     """BFS-enumerate all reachable states and emit the dense edge list."""
     offset2id: dict[int, int] = {img.initial: 0}
     offsets: list[int] = [img.initial]
@@ -212,10 +228,20 @@ def densify_automaton(img: PackedDfaImage, mealy: bool = False) -> DenseAutomato
     n = len(states)
     final = np.zeros(n, bool)
     moore_ow = np.full(n, -1, np.int32)
+    ows_ptr = ows_val = None
+    if multi_moore:
+        ows_ptr = np.zeros(n + 1, np.int64)
+        sets = [img.moore_ows(st) for st in states]
+        ows_ptr[1:] = np.cumsum([0 if v is None else len(v) for v in sets])
+        ows_val = (
+            np.concatenate([v for v in sets if v is not None and len(v)])
+            if any(v is not None and len(v) for v in sets)
+            else np.empty(0, np.int32)
+        ).astype(np.int32)
     srcs, iws, dsts, ows = [], [], [], []
     for sid, st in enumerate(states):
         final[sid] = st.final
-        if not mealy and st.ow is not None:
+        if not mealy and not multi_moore and st.ow is not None:
             moore_ow[sid] = st.ow
         if len(st.iws) == 0:
             continue
@@ -242,4 +268,6 @@ def densify_automaton(img: PackedDfaImage, mealy: bool = False) -> DenseAutomato
         alphabet_ranges=img.alphabet_ranges,
         iw2iw=img.iw2iw.densify() if img.iw2iw else None,
         state_offsets=np.array(offsets, np.int64),
+        ows_ptr=ows_ptr,
+        ows_val=ows_val,
     )
