@@ -108,3 +108,44 @@ def prep_sp_batch(
     )
     assert rc == 0
     return x, spm.astype(bool), lengths, sym_off, status
+
+
+# -- full native host runtime (libbtf_runtime.so, reference-compatible C ABI) --
+
+_RT_SO = os.path.join(_DIR, "libbtf_runtime.so")
+_rt = None
+
+
+def get_runtime():
+    """ctypes handle to the native C-ABI runtime (TextToIds/Words/... family).
+
+    Lazily builds from runtime.cpp, installs the full-Unicode casefold table,
+    and returns the loaded library — or None when no compiler is available."""
+    global _rt
+    if _rt is not None:
+        return _rt
+    if not os.path.exists(_RT_SO) or os.path.getmtime(_RT_SO) < os.path.getmtime(
+        os.path.join(_DIR, "runtime.cpp")
+    ):
+        try:
+            subprocess.run(
+                ["make", "-s", "-C", _DIR, "libbtf_runtime.so"],
+                check=True,
+                capture_output=True,
+                timeout=180,
+            )
+        except Exception:
+            return None
+    lib = ctypes.cdll.LoadLibrary(_RT_SO)
+    lib.LoadModel.restype = ctypes.c_void_p
+    lib.LoadModel.argtypes = [ctypes.c_char_p]
+    lib.SetModel.restype = ctypes.c_void_p
+    from ..runtime.casefold import tolower_table
+
+    table = np.ascontiguousarray(tolower_table(), dtype=np.int32)
+    lib.SetCaseFoldTable(
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(table)
+    )
+    lib._casefold_table = table  # keep the buffer alive
+    _rt = lib
+    return _rt
