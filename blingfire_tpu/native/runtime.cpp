@@ -84,8 +84,9 @@ enum {
     P_NO_DUMMY_PREFIX = 74, P_STRING_ARRAY = 75, P_TOKENID_MIN = 76,
     P_TOKENID_MAX = 77
 };
-enum { ALGO_DEFAULT = 0, ALGO_UNIGRAM_LM = 3, ALGO_BPE = 4, ALGO_BPE_OPT = 2,
-       ALGO_BPE_OPT_WITH_MERGES = 5 };
+// FAFsmConst.h:403-415 (TOKENIZE_*)
+enum { ALGO_DEFAULT = 0, ALGO_WORDPIECE = 1, ALGO_UNIGRAM_LM = 2,
+       ALGO_BPE = 3, ALGO_BPE_OPT = 4, ALGO_BPE_OPT_WITH_MERGES = 5 };
 
 static const int WBD_WORD_TAG = 1;
 static const int WBD_IGNORE_TAG = 4;
@@ -333,17 +334,113 @@ struct DenseAut {
     std::vector<int32_t> e_iw, e_dst, e_ow;
     std::vector<int32_t> iw2iw;         // empty when image has no remap
 
-    // GetDest equivalent over dense tables (binary search within the row)
+    // per-state node records sized for the access pattern of trie walks:
+    //   TINY (<=2 edges, the common trie case): edges inline, ONE cache line
+    //   DENSE (>=8 edges, compact span): direct-indexed slot slice (the same
+    //     trick the packed IWIA representation plays)
+    //   SPARSE (3..7 edges or budget overflow): linear/binary scan in CSR
+    enum : int32_t { K_TINY = 0, K_DENSE = 1, K_SPARSE = 2 };
+    struct Node {  // 32 bytes, cache-line friendly
+        int32_t kind;
+        int32_t a, b, c, d, e, f;  // tiny: iw0,dst0,ow0,iw1,dst1,ow1
+        int32_t g;                 // dense: a=base, b=width, (c,g)=pool offset
+    };
+    struct Slot { int32_t dst, ow; };
+    std::vector<Node> nodes;
+    std::vector<Slot> pool;  // dst == NONE marks "no transition"
+    static constexpr int32_t NONE = -3;
+
+    static inline int64_t node_off(const Node& n) {
+        return (int64_t)(uint32_t)n.c | ((int64_t)n.g << 32);
+    }
+
+    void build_rows() {
+        nodes.assign(n_states, Node{K_SPARSE, 0, 0, 0, 0, 0, 0, 0});
+        pool.clear();
+        int64_t budget = 32u << 20;  // at most 32M dense slots (256 MB)
+        for (int s = 0; s < n_states; ++s) {
+            int64_t lo = row_ptr[s], hi = row_ptr[s + 1];
+            int64_t cnt = hi - lo;
+            if (cnt <= 2) {
+                Node n{K_TINY, -1, -1, 0, -1, -1, 0, 0};
+                if (cnt > 0) { n.a = e_iw[lo]; n.b = e_dst[lo]; n.c = e_ow[lo]; }
+                if (cnt > 1) { n.d = e_iw[lo+1]; n.e = e_dst[lo+1]; n.f = e_ow[lo+1]; }
+                nodes[s] = n;
+                continue;
+            }
+            if (cnt >= 8) {
+                // try the full span; if one extreme iw (e.g. the 0x2581 SPM
+                // edge in a byte-alphabet row) blows it up, keep that single
+                // outlier edge inline and densify the compact remainder
+                int64_t from = lo, to = hi;  // dense part [from, to)
+                int64_t outlier = -1;
+                int64_t width = (int64_t)e_iw[hi - 1] - e_iw[lo] + 1;
+                if (width > 4 * cnt + 64) {
+                    int64_t w_hi = (int64_t)e_iw[hi - 2] - e_iw[lo] + 1;
+                    int64_t w_lo = (int64_t)e_iw[hi - 1] - e_iw[lo + 1] + 1;
+                    if (w_hi <= w_lo) { outlier = hi - 1; to = hi - 1; width = w_hi; }
+                    else { outlier = lo; from = lo + 1; width = w_lo; }
+                }
+                if (width <= 65536 && width <= budget) {
+                    budget -= width;
+                    int32_t base = e_iw[from];
+                    Node n{K_DENSE, base, (int32_t)width, 0, -1, -1, 0, 0};
+                    if (outlier >= 0) {
+                        n.d = e_iw[outlier];
+                        n.e = e_dst[outlier];
+                        n.f = e_ow[outlier];
+                    }
+                    int64_t off = (int64_t)pool.size();
+                    n.c = (int32_t)(uint32_t)(off & 0xFFFFFFFF);
+                    n.g = (int32_t)(off >> 32);
+                    nodes[s] = n;
+                    pool.resize(pool.size() + width, Slot{NONE, 0});
+                    for (int64_t k = from; k < to; ++k)
+                        pool[off + e_iw[k] - base] = Slot{e_dst[k], e_ow[k]};
+                    continue;
+                }
+            }
+            // K_SPARSE: CSR scan
+        }
+    }
+
+    // GetDest equivalent over dense tables
     inline int step(int state, int iw, int* ow = nullptr) const {
         if (state < 0) return -1;
+        const Node& nd = nodes[state];
+        if (nd.kind == K_TINY) {
+            if (nd.a == iw) { if (ow) *ow = nd.c; return nd.b; }
+            if (nd.d == iw) { if (ow) *ow = nd.f; return nd.e; }
+            return -1;
+        }
+        if (nd.kind == K_DENSE) {
+            uint32_t rel = (uint32_t)(iw - nd.a);
+            if (rel >= (uint32_t)nd.b) {
+                if (nd.d == iw) { if (ow) *ow = nd.f; return nd.e; }
+                return -1;
+            }
+            Slot s = pool[node_off(nd) + rel];
+            if (s.dst == NONE) return -1;
+            if (ow) *ow = s.ow;
+            return s.dst;
+        }
         int64_t lo = row_ptr[state], hi = row_ptr[state + 1];
-        const int32_t* beg = e_iw.data();
-        const int32_t* it =
-            std::lower_bound(beg + lo, beg + hi, (int32_t)iw);
-        if (it != beg + hi && *it == iw) {
-            int64_t idx = it - beg;
-            if (ow) *ow = e_ow[idx];
-            return e_dst[idx];
+        if (hi - lo > 16) {  // rare: wide row that exceeded the dense budget
+            const int32_t* beg = e_iw.data();
+            const int32_t* it = std::lower_bound(beg + lo, beg + hi, (int32_t)iw);
+            if (it != beg + hi && *it == iw) {
+                int64_t idx = it - beg;
+                if (ow) *ow = e_ow[idx];
+                return e_dst[idx];
+            }
+            return -1;
+        }
+        for (int64_t k = lo; k < hi; ++k) {
+            if (e_iw[k] == iw) {
+                if (ow) *ow = e_ow[k];
+                return e_dst[k];
+            }
+            if (e_iw[k] > iw) break;
         }
         return -1;
     }
@@ -530,6 +627,7 @@ static void densify(const uint8_t* img, DenseAut& A, bool mealy) {
         }
         A.row_ptr[s + 1] = (int64_t)A.e_iw.size();
     }
+    A.build_rows();
 }
 
 // ---------------------------------------------------------------------------
@@ -928,6 +1026,7 @@ static void seg_bpe(const SegModel& m, const std::vector<int>& seq,
     out.clear();
     if (n <= 0) return;
     std::vector<Arc> arcs;
+    arcs.reserve(4 * seq.size());
     int start = 0;
     while (start < n) {
         bool unknown = true;
@@ -968,23 +1067,32 @@ static void seg_bpe(const SegModel& m, const std::vector<int>& seq,
         if (fast) start = fast_forward;
         start += 1;
     }
+    // (rank,id,start) / (id,start) are unique per arc — a vocab id at a
+    // given start determines the arc — so an unstable sort is equivalent.
+    // Sort packed integer keys instead of the 16-byte structs: one-compare
+    // uint64/uint64 pairs are several times faster under std::sort.
+    std::vector<std::pair<uint64_t, uint64_t>> keys;
+    keys.reserve(arcs.size());
     if (with_merges) {
-        std::stable_sort(arcs.begin(), arcs.end(),
-                         [](const Arc& a, const Arc& b) {
-                             if (a.rank != b.rank) return a.rank > b.rank;
-                             if (a.id != b.id) return a.id < b.id;
-                             return a.start < b.start;
-                         });
+        for (size_t k = 0; k < arcs.size(); ++k) {
+            // IEEE float -> order-preserving uint32, inverted for descending
+            uint32_t rb;
+            std::memcpy(&rb, &arcs[k].rank, 4);
+            rb = (rb & 0x80000000u) ? ~rb : (rb | 0x80000000u);
+            uint64_t hi = ((uint64_t)(~rb) << 32) | (uint32_t)arcs[k].id;
+            keys.push_back({hi, ((uint64_t)(uint32_t)arcs[k].start << 32) | k});
+        }
     } else {
-        std::stable_sort(arcs.begin(), arcs.end(),
-                         [](const Arc& a, const Arc& b) {
-                             if (a.id != b.id) return a.id < b.id;
-                             return a.start < b.start;
-                         });
+        for (size_t k = 0; k < arcs.size(); ++k)
+            keys.push_back({((uint64_t)(uint32_t)arcs[k].id << 32) |
+                                (uint32_t)arcs[k].start,
+                            k});
     }
+    std::sort(keys.begin(), keys.end());
     std::vector<int> tos(n, 0), ids(n, unk_id);
     std::vector<uint8_t> inter(n, 0);
-    for (const Arc& a : arcs) {
+    for (auto& kv : keys) {
+        const Arc& a = arcs[(uint32_t)kv.second];
         if (inter[a.start] == 0 && (a.end + 1 == n || inter[a.end + 1] == 0)) {
             tos[a.start] = a.end;
             ids[a.start] = a.id;
@@ -1593,3 +1701,22 @@ int IdsToText(void* h, const int32_t* ids, const int count, char* out,
 }
 
 }  // extern "C"
+
+// optional micro-benchmark entry (build with -DBTF_BENCH_MAIN)
+#ifdef BTF_BENCH_MAIN
+int main(int argc, char** argv) {
+    const char* model = argc > 1 ? argv[1]
+        : "/root/reference/dist-pypi/blingfire/gpt2.bin";
+    void* h = LoadModel(model);
+    if (!h) return 1;
+    const char* line =
+        "The quick brown fox jumps over the lazy dog while the committee "
+        "discussed infrastructure development of rural areas in 2023.";
+    int n = (int)std::strlen(line);
+    int32_t ids[512];
+    long total = 0;
+    for (int i = 0; i < 200000; ++i) total += TextToIds(h, line, n, ids, 512, 0);
+    std::printf("total ids: %ld\n", total);
+    return 0;
+}
+#endif

@@ -115,12 +115,22 @@ def test_text_to_ids_parity(name):
         assert _ids(_ours(), ho, s) == _ids(ref._lib(), hr, s), s[:50]
 
 
+def _norm_dummy(res):
+    """The reference's end offset for the dummy-prefix token is UNDEFINED: it
+    computes FAUtf8Size(pInUtf8Str + (-1)), reading the byte BEFORE the input
+    buffer (blingfiretokdll.cpp:1388+1527), so the value depends on adjacent
+    heap contents (observed -1 or 2 for identical input). Normalize it."""
+    ids, st, en = res
+    en = [(-1 if s == -1 else e) for s, e in zip(st, en)]
+    return ids, st, en
+
+
 @pytest.mark.parametrize("name", ["gpt2.bin", "xlnet.bin", "bert_base_cased_tok.bin"])
 def test_text_to_ids_offsets_parity(name):
     ho, hr = _handles(name)
     for s in TEXTS:
-        assert _ids(_ours(), ho, s, offsets=True) == _ids(
-            ref._lib(), hr, s, offsets=True
+        assert _norm_dummy(_ids(_ours(), ho, s, offsets=True)) == _norm_dummy(
+            _ids(ref._lib(), hr, s, offsets=True)
         ), s[:50]
 
 
