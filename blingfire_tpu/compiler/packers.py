@@ -306,6 +306,22 @@ def pack_moore_mdfa(
     return bytes(out)
 
 
+def pack_multimap_mph(chains: list[tuple[int, ...]], direction: int = 0) -> bytes:
+    """MPH-backed multimap (read side: FAMultiMap_pack_mph.cpp:22-93):
+    ``[MaxChainSize:i32][Direction:i32]`` + Mealy MPH image whose key ids are
+    the lexicographic ranks of the (direction-adjusted) chains."""
+    from .mindfa import assign_mph_ows, build_min_dfa
+
+    assert chains
+    stored = [tuple(reversed(c)) if direction == 1 else tuple(c) for c in chains]
+    stored = sorted(set(stored))
+    n, final, edges = build_min_dfa(stored)
+    mealy_edges = assign_mph_ows(n, final, edges)
+    img = pack_mealy_dfa(n, 0, final, mealy_edges)
+    max_len = max(len(c) for c in stored)
+    return struct.pack("<ii", max_len, direction) + img
+
+
 def pack_iw_map(entries: list[tuple[int, int]]) -> bytes:
     """FAIwMapPack dump: sorted (old_iw, new_iw) pairs -> interval-compressed
     map (read side: blingfireclient.library/src/FAIwMap_pack.cpp:35-88).

@@ -165,6 +165,61 @@ class PackedDfaImage:
         return chain[: len(st.iws)].astype(np.int32)
 
 
+class MphMultiMap:
+    """MPH-backed multimap (FAMultiMap_pack_mph.cpp:22-93).
+
+    Layout: ``[MaxChainSize:i32][Direction:i32]`` then a Mealy MPH image.
+    ``get(key)`` recovers the key-th chain by the inverse-MPH walk
+    (FAMphInterpretTools_t.h:127-166 + FAOw2Iw_pack_triv::GetDestIwOw):
+    at each state take the transition with the LARGEST Ow <= remaining id,
+    subtract, and descend; the id is valid iff the remainder hits zero."""
+
+    DIR_L2R = 0
+    DIR_R2L = 1
+
+    def __init__(self, buf: bytes, base: int = 0):
+        from .packed import read_i32
+
+        self.max_chain_size = read_i32(buf, base)
+        self.direction = read_i32(buf, base + 4)
+        if self.max_chain_size <= 0 or self.direction not in (0, 1):
+            raise ValueError("bad mph multimap header")
+        img = PackedDfaImage(buf, base + 8)
+        aut = densify_automaton(img, mealy=True)
+        # per state: transitions sorted by Ow for the inverse walk
+        self._rows: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        for s in range(aut.n_states):
+            m = aut.edge_src == s
+            ows = aut.edge_ow[m]
+            order = np.argsort(ows, kind="stable")
+            self._rows.append(
+                (ows[order], aut.edge_iw[m][order], aut.edge_dst[m][order])
+            )
+        self._final = aut.final
+
+    def get(self, key: int) -> list[int] | None:
+        if key < 0:
+            return None
+        state = 0
+        rem = key
+        chain: list[int] = []
+        while state >= 0:
+            ows, iws, dsts = self._rows[state]
+            i = int(np.searchsorted(ows, rem, side="right")) - 1
+            if i < 0:
+                break
+            chain.append(int(iws[i]))
+            rem -= int(ows[i])
+            state = int(dsts[i])
+            if len(chain) > self.max_chain_size:
+                return None
+        if rem != 0:
+            return None
+        if self.direction == self.DIR_R2L:
+            chain.reverse()
+        return chain
+
+
 @dataclass
 class DenseAutomaton:
     """Flat, device-friendly view of one packed automaton.
