@@ -48,12 +48,46 @@ class TokenizerHandle:
         self._hyph = None
         self._use_device = use_device
         self._device_opts = device_opts
+        self._native = False  # unresolved; resolved lazily to None or a tuple
         if model.seg is not None:
             self._sp_oracle = SpTokenizerOracle(model.seg)
         if model.wbd is not None:
             self._lexer = LexerOracleApi(model)
         if model.w2h is not None:
             self._hyph = HyphEngine(model.w2h)
+
+    # -- native C++ fast path for single-string calls ------------------------
+
+    def _native_rt(self):
+        """(lib, handle) of the native host runtime for this model, or None.
+
+        The native engines are function-by-function parity-tested against the
+        reference library (tests/test_native_runtime.py); they serve scalar
+        host calls ~1.5x faster than the reference C++ and far faster than
+        the Python oracle.  Disable with BTL_NATIVE=0."""
+        if self._native is False:
+            import ctypes
+            import os
+            import weakref
+
+            self._native = None
+            if os.environ.get("BTL_NATIVE", "1") != "0":
+                try:
+                    from .native import get_runtime
+
+                    lib = get_runtime()
+                except Exception:
+                    lib = None
+                if lib is not None:
+                    img = self.model.ldb.image
+                    buf = ctypes.create_string_buffer(img, len(img))
+                    h = lib.SetModel(buf, len(img))
+                    if h:
+                        self._native = (lib, h, buf)
+                        weakref.finalize(
+                            self, lib.FreeModel, ctypes.c_void_p(h)
+                        )
+        return self._native
 
     # -- lazy device paths -------------------------------------------------
 
@@ -83,10 +117,62 @@ class TokenizerHandle:
 
     # -- TextToIds family --------------------------------------------------
 
+    def _native_ids(self, text, max_len, unk_id, offsets: bool):
+        nt = self._native_rt()
+        if nt is None:
+            return None
+        import ctypes
+
+        lib, h, _buf = nt
+        if isinstance(text, str):
+            text = text.encode("utf-8")
+        cap = len(text) + 2
+        if max_len is not None:
+            cap = min(cap, max_len)
+        ids = (ctypes.c_int32 * max(cap, 1))()
+        if offsets:
+            st = (ctypes.c_int32 * max(cap, 1))()
+            en = (ctypes.c_int32 * max(cap, 1))()
+            n = lib.TextToIdsWithOffsets(
+                ctypes.c_void_p(h), text, len(text), ids, st, en, cap, unk_id
+            )
+            n = min(n, cap)
+            return list(ids[:n]), list(st[:n]), list(en[:n])
+        n = lib.TextToIds(ctypes.c_void_p(h), text, len(text), ids, cap, unk_id)
+        return list(ids[: min(n, cap)])
+
+    def _native_str(self, fname: str, text, extra=()):
+        nt = self._native_rt()
+        if nt is None:
+            return None
+        import ctypes
+
+        lib, h, _buf = nt
+        if isinstance(text, str):
+            text = text.encode("utf-8")
+        maxn = 4 * len(text) + 64
+        out = ctypes.create_string_buffer(maxn)
+        n = getattr(lib, fname)(
+            text, len(text), out, maxn, ctypes.c_void_p(h), *extra
+        )
+        if n < 0:
+            return None  # invalid input
+        if n == 0:
+            return ""
+        if n > maxn:  # shouldn't happen with the 4x bound, but stay safe
+            out = ctypes.create_string_buffer(n)
+            n = getattr(lib, fname)(
+                text, len(text), out, n, ctypes.c_void_p(h), *extra
+            )
+        return out.raw[: n - 1].decode("utf-8", errors="replace")
+
     def text_to_ids(
         self, text: bytes | str, max_len: int | None = None, unk_id: int = 0
     ) -> list[int]:
         """Single-string TextToIds (dispatches wp vs sp like the reference)."""
+        r = self._native_ids(text, max_len, unk_id, offsets=False)
+        if r is not None:
+            return r
         if self.model.has_seg:
             return self._sp_oracle.text_to_ids(text, max_len, unk_id)
         assert self._lexer is not None, "model has no tokenizer sections"
@@ -99,6 +185,9 @@ class TokenizerHandle:
     def text_to_ids_with_offsets(
         self, text: bytes | str, max_len: int | None = None, unk_id: int = 0
     ):
+        r = self._native_ids(text, max_len, unk_id, offsets=True)
+        if r is not None:
+            return r
         if self.model.has_seg:
             return self._sp_oracle.text_to_ids_with_offsets(text, max_len, unk_id)
         assert self._lexer is not None, "model has no tokenizer sections"
@@ -133,10 +222,16 @@ class TokenizerHandle:
 
     def text_to_words(self, text: bytes | str) -> str | None:
         assert self._lexer is not None, "model has no [wbd] section"
+        r = self._native_str("TextToWordsWithModel", text)
+        if r is not None or self._native_rt() is not None:
+            return r
         return self._lexer.text_to_words(text)
 
     def text_to_sentences(self, text: bytes | str) -> str | None:
         assert self._lexer is not None, "model has no [wbd] section"
+        r = self._native_str("TextToSentencesWithModel", text)
+        if r is not None or self._native_rt() is not None:
+            return r
         return self._lexer.text_to_sentences(text)
 
     # -- hyphenation (blingfiretokdll.cpp:824-911) -------------------------
@@ -145,6 +240,8 @@ class TokenizerHandle:
         self, text: bytes | str, uhy: int = DEFAULT_HYPHEN
     ) -> str | None:
         assert self._hyph is not None, "model has no [w2h] section"
+        if self._native_rt() is not None:
+            return self._native_str("WordHyphenationWithModel", text, (uhy,))
         if isinstance(text, str):
             text = text.encode("utf-8")
         if len(text) == 0:
