@@ -69,7 +69,7 @@ def main():
 
     model = load_model("/root/reference/ldbsrc/ldb/gpt2.bin")
     N = 128
-    B = 4096
+    B = 4096  # phase-1 batch (robust); phase 2 rebatches much larger
     tok = SpTokenizer(model, max_doc_symbols=N)
 
     docs = make_corpus(B)
@@ -86,46 +86,69 @@ def main():
             RESULT["value"] = round(bps, 1)
             RESULT["vs_baseline"] = round(bps / BASELINE_BYTES_PER_S, 2)
 
-    # ---- phase 1: chained single dispatches (known-robust path) ----------
+    # ---- phase 1: queued single dispatches (known-robust path) -----------
+    # NOTE: the returned checksum must stay RAW — any algebraically-zero
+    # wrapper (x*0, min(x,0), x-x) is folded by XLA and the ENTIRE
+    # tokenization graph is dead-code-eliminated, turning the benchmark
+    # into a dispatch-latency measurement.  Model tables are passed as jit
+    # ARGUMENTS: gathers from giant closure constants hit a pathologically
+    # slow XLA path (and constants blow up compile time).
     @jax.jit
-    def step(x_iw, is_spm, lens, salt):
+    def step(tabs, x_iw, is_spm, lens):
         ids, _st, _en, counts, _fb2 = bpe_ops.bpe_segment(
-            tok.tables, x_iw + salt, is_spm, lens, unk, a_max
+            tabs, x_iw, is_spm, lens, unk, a_max
         )
-        return (jnp.sum(counts) + jnp.sum(ids[:, 0])) * 0
+        return jnp.sum(counts) + jnp.sum(ids[:, 0])
 
-    r = step(xj, sj, lj, jnp.int32(0))
+    r = step(tok.tables, xj, sj, lj)
     jax.block_until_ready(r)
 
     iters = 8
     t0 = time.perf_counter()
-    salt = r.astype(jnp.int32)
     for _ in range(iters):
-        salt = step(xj, sj, lj, salt).astype(jnp.int32)
-    jax.block_until_ready(salt)
+        r = step(tok.tables, xj, sj, lj)
+    jax.block_until_ready(r)
     dt = (time.perf_counter() - t0) / iters
     record(batch_bytes / dt)
 
-    # ---- phase 2: dispatch-amortized fused loop (refinement) -------------
-    ITERS = 16
+    # ---- phase 2: large-batch, dispatch-amortized fused loop -------------
+    # Amortizes per-dispatch tunnel latency; B2 sized to keep the walk's
+    # (B, N, K1) match-slot buffers well inside HBM.
+    B2 = 32768
+    docs2 = make_corpus(B2)
+    batch_bytes2 = sum(len(d) for d in docs2)
+    x2, spm2, lengths2, _o2, _f2 = tok._prep_batch(docs2)
+    xj2 = jnp.asarray(x2)
+    sj2 = jnp.asarray(spm2)
+    lj2 = jnp.asarray(lengths2)
+
+    ITERS = 8
 
     @jax.jit
-    def step_many(x_iw, is_spm, lens):
+    def step_many(tabs, x_iw, is_spm, lens):
         def body(_i, s):
+            # the salt is 0 at runtime but NOT provably zero, so the loop
+            # body cannot be hoisted as loop-invariant (which would turn
+            # ITERS executions into one)
+            salt = jnp.where(s == jnp.iinfo(jnp.int32).min, 1, 0)
             ids, _st, _en, counts, _fb2 = bpe_ops.bpe_segment(
-                tok.tables, x_iw + s, is_spm, lens, unk, a_max
+                tabs, x_iw + salt, is_spm, lens, unk, a_max
             )
-            return ((jnp.sum(counts) + jnp.sum(ids[:, 0])) * 0).astype(jnp.int32)
+            return (jnp.sum(counts) + jnp.sum(ids[:, 0])).astype(jnp.int32)
 
         return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-    r2 = step_many(xj, sj, lj)
-    jax.block_until_ready(r2)
-    t0 = time.perf_counter()
-    r2 = step_many(xj, sj, lj)
-    jax.block_until_ready(r2)
-    dt = (time.perf_counter() - t0) / ITERS
-    record(batch_bytes / dt)
+    try:
+        r2 = step_many(tok.tables, xj2, sj2, lj2)
+        jax.block_until_ready(r2)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r2 = step_many(tok.tables, xj2, sj2, lj2)
+            jax.block_until_ready(r2)
+            dt = (time.perf_counter() - t0) / ITERS
+            record(batch_bytes2 / dt)
+    except Exception:
+        pass  # keep the phase-1 measurement
 
     emit_and_exit(0)
 

@@ -40,12 +40,16 @@ import os
 
 
 def _use_pallas() -> bool:
+    # The hand-written claim/pointer scan kernels index a dynamic LANE of a
+    # (B, A) VMEM block, which current Mosaic rejects on real TPUs ("cannot
+    # statically prove that index in dimension 1 is a multiple of 128") —
+    # they only ever ran in interpreter mode.  Until the kernels are
+    # restructured around static lane tiles, the XLA while_loop formulations
+    # below are the production TPU path.  BTL_PALLAS=1 re-enables them.
     v = os.environ.get("BTL_PALLAS", "auto")
     if v == "1":
         return True
-    if v == "0":
-        return False
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def _gather_mode() -> bool:
@@ -70,11 +74,20 @@ class BpeDeviceTables:
     final: jax.Array  # bool[n_states]
     ids_tab: jax.Array  # int32[nkeys]
     ranks_tab: jax.Array  # float32[nkeys]
+    # optional vocabulary-trie expansion (ops/tables.py::build_trie_table):
+    # final nodes are numbered BY token id, so the walk is ONE gather per
+    # step instead of five (owner/nxt/ow/final/ids) — the XLA gather is the
+    # TPU bottleneck of the whole kernel
+    trie_next: jax.Array | None
+    rank_by_id: jax.Array | None
     n_slots: int = field(metadata=dict(static=True))
     max_len: int = field(metadata=dict(static=True))  # walk depth bound
     with_merges: bool = field(metadata=dict(static=True))
     fast: bool = field(metadata=dict(static=True))
     id_offset: int = field(metadata=dict(static=True))
+    trie_root: int = field(metadata=dict(static=True), default=-1)
+    trie_v: int = field(metadata=dict(static=True), default=0)
+    trie_a: int = field(metadata=dict(static=True), default=0)
 
 
 def make_device_tables(
@@ -85,9 +98,17 @@ def make_device_tables(
     with_merges: bool,
     fast: bool,
     id_offset: int,
+    trie=None,  # (next_flat, rank_by_id, root, n_nodes) from build_trie_table
 ) -> BpeDeviceTables:
     assert int(ids.max(initial=0)) < (1 << 20), "ids must fit the packed-slot layout"
     assert max_len <= 128, "token depth must fit the packed-slot layout"
+    trie_next = rank_by_id = None
+    trie_root, trie_v = -1, 0
+    if trie is not None:
+        next_flat, rk, trie_root, _n = trie
+        trie_next = jnp.asarray(next_flat, jnp.int32)
+        rank_by_id = jnp.asarray(rk, jnp.float32)
+        trie_v = int(ids.max(initial=-1)) + 1
     return BpeDeviceTables(
         base=jnp.asarray(table.base, jnp.int32),
         owner=jnp.asarray(table.owner, jnp.int32),
@@ -96,11 +117,16 @@ def make_device_tables(
         final=jnp.asarray(table.final),
         ids_tab=jnp.asarray(ids, jnp.int32),
         ranks_tab=jnp.asarray(ranks, jnp.float32),
+        trie_next=trie_next,
+        rank_by_id=rank_by_id,
         n_slots=table.n_slots,
         max_len=max_len,
         with_merges=with_merges,
         fast=fast,
         id_offset=id_offset,
+        trie_root=trie_root,
+        trie_v=trie_v,
+        trie_a=table.n_iws,
     )
 
 
@@ -149,33 +175,55 @@ def bpe_segment(
     #   bits 20..26 depth d         (max token length < 128)
     #   bit  27     whole-token flag
     # empty slot = -1
+    use_trie = tables.trie_next is not None
+    V = tables.trie_v
+    A = tables.trie_a
+
     def walk_body(st):
         (d, state, sum_ow, count, m_pack, m_rank, overflow) = st
         c = jax.lax.dynamic_slice(x_pad, (0, d), (B, N))
-        s_safe = jnp.maximum(state, 0)
-        c_safe = jnp.maximum(c, 0)
-        slot = jnp.clip(tables.base[s_safe] + c_safe, 0, tables.n_slots - 1)
-        hit = (tables.owner[slot] == state) & (state >= 0) & (c >= 0)
-        ns = jnp.where(hit, tables.nxt[slot], -1)
-        sum_ow = sum_ow + jnp.where(hit, tables.ow[slot], 0)
-        fin = (ns >= 0) & tables.final[jnp.maximum(ns, 0)]
+        if use_trie:
+            # vocabulary-trie step: ONE gather; node < V means "final with
+            # token id == node index"
+            flat = jnp.clip(
+                jnp.maximum(state, 0) * A + jnp.maximum(c, 0),
+                0,
+                tables.trie_next.shape[0] - 1,
+            )
+            ns = jnp.where(
+                (state >= 0) & (c >= 0), tables.trie_next[flat], -1
+            )
+            fin = (ns >= 0) & (ns < V)
+            mid = jnp.maximum(ns, 0)
+        else:
+            s_safe = jnp.maximum(state, 0)
+            c_safe = jnp.maximum(c, 0)
+            slot = jnp.clip(tables.base[s_safe] + c_safe, 0, tables.n_slots - 1)
+            hit = (tables.owner[slot] == state) & (state >= 0) & (c >= 0)
+            ns = jnp.where(hit, tables.nxt[slot], -1)
+            sum_ow = sum_ow + jnp.where(hit, tables.ow[slot], 0)
+            fin = (ns >= 0) & tables.final[jnp.maximum(ns, 0)]
+            key = jnp.clip(sum_ow, 0, nkeys - 1)
+            mid = tables.ids_tab[key]
 
-        key = jnp.clip(sum_ow, 0, nkeys - 1)
-        mid = tables.ids_tab[key]
         nxt_spm = jax.lax.dynamic_slice(spm_or_end, (0, d + 1), (B, N))
         packed = mid | (d << 20) | (nxt_spm.astype(jnp.int32) << 27)
 
         onehot = (count[..., None] == jnp.arange(K1)[None, None, :]) & fin[..., None]
         m_pack = jnp.where(onehot, packed[..., None], m_pack)
         if tables.with_merges:
-            mrank = tables.ranks_tab[key]
+            if use_trie:
+                mrank = tables.rank_by_id[jnp.clip(mid, 0, V - 1)]
+            else:
+                mrank = tables.ranks_tab[jnp.clip(sum_ow, 0, nkeys - 1)]
             m_rank = jnp.where(onehot, mrank[..., None], m_rank)
         overflow = overflow | (fin & (count >= K1))
         count = count + fin.astype(jnp.int32)
         return (d + 1, ns, sum_ow, count, m_pack, m_rank, overflow)
 
-    init_state = jnp.where(valid & (x_iw >= 0), 0, -1).astype(jnp.int32)
-    # NOTE: initial state id is 0 by construction (densify_automaton)
+    init0 = tables.trie_root if use_trie else 0
+    init_state = jnp.where(valid & (x_iw >= 0), init0, -1).astype(jnp.int32)
+    # NOTE: comb initial state id is 0 by construction (densify_automaton)
     st0 = (
         jnp.int32(0),
         init_state,
@@ -188,6 +236,21 @@ def bpe_segment(
     (_, _, _, count, m_pack, m_rank, slot_overflow) = jax.lax.while_loop(
         walk_cond, walk_body, st0
     )
+
+    # profiling aid: BTL_BPE_PHASE=walk|sort|claim truncates the graph after
+    # that phase (outputs keep a live data dependency so nothing is DCE'd)
+    _phase = os.environ.get("BTL_BPE_PHASE", "")
+
+    def _phase_out(live):
+        # RAW live checksum — do NOT wrap in x*0 / min(x,0): XLA folds both
+        # and dead-code-eliminates the entire phase being measured
+        z = live.astype(jnp.int32)
+        a = jnp.zeros((B, 1), jnp.int32) + z
+        return a, a, a, z + jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool)
+
+    if _phase == "walk":
+        return _phase_out(jnp.sum(m_pack) + jnp.sum(count))
+
     m_id = m_pack & 0xFFFFF
     m_end = pos[None, :, None] + ((m_pack >> 20) & 0x7F)
     m_whole = ((m_pack >> 27) & 1) == 1
@@ -335,6 +398,9 @@ def bpe_segment(
         s_id = jnp.take_along_axis(c_id, s_idx, axis=1)
         s_valid = jnp.take_along_axis(c_valid, s_idx, axis=1)
 
+    if _phase == "sort":
+        return _phase_out(jnp.sum(s_start) + jnp.sum(s_id) + jnp.sum(s_end))
+
     # ----------------------------------------------------------------- CLAIM
     W = (N + 1 + 31) // 32
     warange = jnp.arange(W, dtype=jnp.int32)[None, :]  # (1, W)
@@ -393,6 +459,11 @@ def bpe_segment(
                 jnp.zeros((B, W), jnp.uint32),
                 jnp.zeros((B, a_max), bool),
             ),
+        )
+
+    if _phase == "claim":
+        return _phase_out(
+            jnp.sum(int_mask.astype(jnp.int32)) + jnp.sum(claimed)
         )
 
     # ------------------------------------------------------------------ EMIT

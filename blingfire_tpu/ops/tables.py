@@ -186,3 +186,112 @@ def verify_comb_table(table: CombTable, aut: DenseAutomaton, samples: int = 5000
         got = int(table.nxt[slot])
         assert got == (want if want != DEAD else -1)
         assert int(table.ow[slot]) == int(aut.edge_ow[i])
+
+
+def build_trie_table(
+    comb: CombTable,
+    ids: np.ndarray,
+    ranks: np.ndarray,
+    max_entries: int = 96_000_000,
+):
+    """Vocabulary-trie expansion of a Mealy MPH automaton for 1-gather walks.
+
+    The minimal Mealy automaton shares suffix states, so recovering a token
+    id needs the Ow path sum plus an I2Info lookup — several gathers per
+    step on device.  Expanding to the (state, path-sum) DAG gives each final
+    node a UNIQUE token: number final nodes BY their token id and the device
+    walk needs exactly one gather per step (``next[node * A + c]``; a node
+    is final iff its index < vocab_size, and then the index IS the id).
+
+    Returns (next_flat int32[(V+extra) * n_iws], rank_by_id float32[V],
+    root_idx, n_nodes) or None when the dense table would exceed
+    ``max_entries`` slots.
+    """
+    n_iws = comb.n_iws
+    nkeys = len(ids)
+    V = int(ids.max()) + 1 if nkeys else 0
+
+    # adjacency per state from the comb arrays
+    slots = np.nonzero(comb.owner >= 0)[0]
+    s_state = comb.owner[slots]
+    s_iw = slots - comb.base[s_state]
+    s_nxt = comb.nxt[slots]
+    s_ow = comb.ow[slots]
+    order = np.argsort(s_state, kind="stable")
+    s_state, s_iw, s_nxt, s_ow = (
+        s_state[order], s_iw[order], s_nxt[order], s_ow[order]
+    )
+    row_ptr = np.searchsorted(s_state, np.arange(comb.n_states + 1))
+
+    # DFS over (state, sum) with memo; node ids: finals = token id, others
+    # allocated past V
+    memo: dict[tuple[int, int], int] = {}
+    edges: list[tuple[int, int, int]] = []  # (node, iw, child_node)
+    next_internal = V
+    stack = [(0, 0)]
+    root = None
+
+    def node_id(state: int, sm: int) -> int:
+        nonlocal next_internal
+        key = (state, sm)
+        got = memo.get(key)
+        if got is not None:
+            return got
+        if comb.final[state]:
+            if not (0 <= sm < nkeys):
+                raise ValueError("MPH sum out of range")
+            nid = int(ids[sm])
+        else:
+            nid = next_internal
+            next_internal += 1
+        memo[key] = nid
+        return nid
+
+    root = node_id(0, 0)
+    seen = {(0, 0)}
+    while stack:
+        state, sm = stack.pop()
+        nid = node_id(state, sm)
+        for k in range(row_ptr[state], row_ptr[state + 1]):
+            dst, ow = int(s_nxt[k]), int(s_ow[k])
+            if dst < 0:
+                continue
+            csum = sm + ow
+            child = (dst, csum)
+            edges.append((nid, int(s_iw[k]), node_id(dst, csum)))
+            if child not in seen:
+                seen.add(child)
+                stack.append(child)
+        if len(memo) * n_iws > max_entries:
+            return None
+
+    n_nodes = max(next_internal, V)
+    if n_nodes * n_iws > max_entries:
+        return None
+    next_flat = np.full(n_nodes * n_iws, -1, np.int32)
+    if edges:
+        e = np.asarray(edges, dtype=np.int64)
+        next_flat[e[:, 0] * n_iws + e[:, 1]] = e[:, 2].astype(np.int32)
+    rank_by_id = np.zeros(max(V, 1), np.float32)
+    if nkeys:
+        rank_by_id[ids.astype(np.int64)] = ranks
+    return next_flat, rank_by_id, root, n_nodes
+
+
+def build_trie_table_cached(
+    comb: CombTable,
+    ids: np.ndarray,
+    ranks: np.ndarray,
+    model_key: str | None,
+):
+    if model_key is None:
+        return build_trie_table(comb, ids, ranks)
+    from ..models import cache
+
+    key = f"{model_key}-trie"
+    hit = cache.load(key)
+    if hit is not None:
+        return None if hit == "none" else hit
+    t = build_trie_table(comb, ids, ranks)
+    cache.store(key, t if t is not None else "none")
+    return t

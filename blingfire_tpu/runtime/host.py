@@ -200,6 +200,11 @@ class SpTokenizer:
             TokAlgo.BPE_OPT_WITH_MERGES,
         )
         if self.is_bpe:
+            from ..ops.tables import build_trie_table_cached
+
+            trie = build_trie_table_cached(
+                self.comb, seg.i2info_ids, seg.i2info_scores, model.source_key
+            )
             self.tables = bpe_ops.make_device_tables(
                 self.comb,
                 seg.i2info_ids,
@@ -208,6 +213,7 @@ class SpTokenizer:
                 with_merges=seg.tok_algo == TokAlgo.BPE_OPT_WITH_MERGES,
                 fast=seg.tok_algo in (TokAlgo.BPE_OPT, TokAlgo.BPE_OPT_WITH_MERGES),
                 id_offset=seg.id_offset,
+                trie=trie,
             )
         else:
             from ..ops import unigram as uni_ops
