@@ -346,19 +346,50 @@ def bpe_segment(
     if _gather_mode():
         # TPU: XLA scatters are serialized and catastrophically slow, while
         # sorts and gathers are fast — sort the full arc slab once and slice
-        # the top a_max entries
-        if tables.with_merges:
-            key_rank = jnp.where(avalid, _float_desc_key(ranks), INT32_MAX)
-            _, _, s_idx = jax.lax.sort(
-                [key_rank, key2, idx0], dimension=1, num_keys=2
+        # the top a_max entries.  The sort dominates the whole kernel, so
+        # when everything fits we pack (id, start, depth) into ONE int32 key
+        # and sort a single array with no payloads; the sorted key itself is
+        # then decoded back into (start, end, id).
+        max_id = int(tables.ids_tab.shape[0]) + abs(tables.id_offset) + 2
+        depth_bits = max(N - 1, 1).bit_length()  # unknown runs span up to N-1
+        packable = (
+            not tables.with_merges
+            and (max_id + 2) * N < (1 << (31 - depth_bits))
+        )
+        if packable:
+            depth = jnp.clip(ends - starts, 0, (1 << depth_bits) - 1)
+            # ids are < max_id for vocabulary arcs by construction; unknown
+            # arcs carry the caller's unk_id, clamped here so the packing
+            # cannot overflow (an unk_id beyond the vocabulary would be a
+            # caller error anyway — same-id arcs keep their relative order)
+            ids_safe = jnp.minimum(ids, jnp.int32(max_id))
+            keyp = jnp.where(
+                avalid,
+                ((ids_safe * jnp.int32(N) + starts) << depth_bits) | depth,
+                INT32_MAX,
+            )
+            (skey,) = jax.lax.sort([keyp], dimension=1, num_keys=1)
+            skey = skey[:, :a_max]
+            s_valid = skey != INT32_MAX
+            sk = jnp.where(s_valid, skey >> depth_bits, 0)
+            s_start = sk % jnp.int32(N)
+            s_id = sk // jnp.int32(N)
+            s_end = s_start + jnp.where(
+                s_valid, skey & ((1 << depth_bits) - 1), 0
             )
         else:
-            _, s_idx = jax.lax.sort([key2, idx0], dimension=1, num_keys=1)
-        s_idx = s_idx[:, :a_max]
-        s_start = jnp.take_along_axis(starts, s_idx, axis=1)
-        s_end = jnp.take_along_axis(ends, s_idx, axis=1)
-        s_id = jnp.take_along_axis(ids, s_idx, axis=1)
-        s_valid = jnp.take_along_axis(avalid, s_idx, axis=1)
+            if tables.with_merges:
+                key_rank = jnp.where(avalid, _float_desc_key(ranks), INT32_MAX)
+                _, _, s_idx = jax.lax.sort(
+                    [key_rank, key2, idx0], dimension=1, num_keys=2
+                )
+            else:
+                _, s_idx = jax.lax.sort([key2, idx0], dimension=1, num_keys=1)
+            s_idx = s_idx[:, :a_max]
+            s_start = jnp.take_along_axis(starts, s_idx, axis=1)
+            s_end = jnp.take_along_axis(ends, s_idx, axis=1)
+            s_id = jnp.take_along_axis(ids, s_idx, axis=1)
+            s_valid = jnp.take_along_axis(avalid, s_idx, axis=1)
     else:
         # CPU: scatter-compact the valid arcs first (scatters are cheap
         # there), then sort only the (B, a_max) slab
