@@ -74,6 +74,50 @@ class ChainsWriter:
         )
 
 
+def pack_offset_table(offsets) -> bytes:
+    """Packed offset table (reader: FAOffsetTable_pack.cpp:24-83).
+
+    Layout: ``[Shift:i32][BaseSize:i32][Count:i32]`` + (when Shift != 0) a
+    uint8 delta per index + a big-endian base array indexed by
+    ``idx >> Shift``.  Shift is chosen as the largest value in 0..7 whose
+    within-block deltas all fit a byte (FAOffsetTablePack::CalcSkipValue
+    semantics); offsets must be non-decreasing for compression to apply."""
+    offs = [int(o) for o in offsets]
+    n = len(offs)
+    if n == 0:
+        raise ValueError("empty offset table")
+    shift = 0
+    for cand in range(7, 0, -1):
+        mask = (1 << cand) - 1
+        base = 0
+        ok = True
+        for i, o in enumerate(offs):
+            if (i & mask) == 0:
+                base = o
+            else:
+                d = o - base
+                if d < 0 or d > 0xFF:
+                    ok = False
+                    break
+        if ok:
+            shift = cand
+            break
+    if shift:
+        bases = [offs[i] for i in range(0, n, 1 << shift)]
+        deltas = bytes((offs[i] - offs[i & ~((1 << shift) - 1)]) & 0xFF for i in range(n))
+    else:
+        bases = offs
+        deltas = b""
+    max_base = max(bases)
+    base_size = 1 if max_base <= 0xFF else 2 if max_base <= 0xFFFF else (
+        3 if max_base <= 0xFFFFFF else 4
+    )
+    out = struct.pack("<iii", shift, base_size, n)
+    out += deltas
+    out += b"".join(_be(b, base_size) for b in bases)
+    return out
+
+
 def pack_multimap(mapping: dict[int, list[int]]) -> bytes:
     """FAMultiMap_pack: [MaxKey][SizeOfOffset][offsets BE][pad][chains]."""
     max_key = max(mapping.keys(), default=0)

@@ -154,6 +154,45 @@ class PackedDfaImage:
             return None
         return self.ows.unpack(st.ow)
 
+    def ow2iw_step(self, state: int, ow1: int) -> tuple[int, int, int]:
+        """Reverse-MPH step (FAOw2Iw_pack_triv.cpp:65-265).
+
+        From the state at byte offset `state`, follow the transition whose
+        output weight is the largest one <= `ow1` and return
+        ``(dest_offset, iw, ow2)``; ``dest_offset`` is -1 when no transition
+        qualifies.  Only PARA and IMPL states are valid (MPH automata are
+        packed without IWIA/RANGE rows, FAOw2Iw_pack_triv.cpp:250-256)."""
+        if state < 0:
+            return -1, -1, -1
+        st = self.decode_state(state)
+        if len(st.iws) == 0:
+            return -1, -1, -1
+        if st.ow is not None and self.ows is not None:
+            ow2, idx = self.ows.get_equal_or_less(st.ow, ow1)
+            if idx < 0:
+                return -1, -1, -1
+        else:
+            ow2, idx = 0, 0
+        dst = int(st.dsts[idx])
+        if dst < 0:  # dead-state sentinel cannot appear in MPH images
+            return -1, -1, -1
+        return dst, int(st.iws[idx]), ow2
+
+    def mph_chain(self, id_: int, initial: int | None = None) -> list[int] | None:
+        """Id -> chain via the reverse-MPH walk
+        (FAMphInterpretTools_t.h:125-166).  Returns None when `id_` is out of
+        the automaton's perfect-hash range."""
+        state = self.initial if initial is None else initial
+        ow = id_
+        chain: list[int] = []
+        while True:
+            state, iw, ow2 = self.ow2iw_step(state, ow)
+            if state == -1:
+                break
+            chain.append(iw)
+            ow -= ow2
+        return chain if ow == 0 else None
+
     def mealy_ows(self, st: PackedState) -> np.ndarray:
         """Per-transition output weights of a Mealy state.
 

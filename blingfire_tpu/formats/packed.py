@@ -98,6 +98,67 @@ class ChainsPack:
             np.frombuffer(self.buf, self._dt, 1, p + self.size_of_value * (1 + idx))[0]
         )
 
+    def get_equal_or_less(self, offset: int, value: int) -> tuple[int, int]:
+        """Largest chain element <= value and its index, or (-1, -1).
+
+        Mirrors ``FAChains_pack_triv::GetEqualOrLess``
+        (FAChains_pack_triv.h:227-308): the chain is sorted-unique; when
+        ``value`` exceeds the stored width's positive range the last element
+        is returned without comparison."""
+        chain = self.unpack(offset)
+        n = len(chain)
+        if n == 0:
+            return -1, -1
+        limit = (0xFF >> 1) if self.size_of_value == 1 else (
+            (0xFFFF >> 1) if self.size_of_value == 2 else None
+        )
+        if limit is not None and value > limit:
+            return int(chain[n - 1]), n - 1
+        idx = int(np.searchsorted(chain, value, side="right")) - 1
+        if idx < 0:
+            return -1, -1
+        return int(chain[idx]), idx
+
+
+class OffsetTablePack:
+    """Packed state->offset table (FAOffsetTable_pack.cpp:24-83).
+
+    Layout: ``[ShiftValue:i32][BaseSize:i32][OffsetCount:i32]``
+    then, when ShiftValue != 0, a per-index uint8 delta array of OffsetCount
+    bytes, then a big-endian base array of BaseSize-byte entries indexed by
+    ``Idx >> ShiftValue``."""
+
+    def __init__(self, buf: bytes, base: int = 0):
+        self.buf = buf
+        self.base = base
+        self.shift = read_u32(buf, base)
+        self.base_size = read_u32(buf, base + 4)
+        if not (1 <= self.base_size <= 4):
+            raise ValueError(f"bad offset-table base size {self.base_size}")
+        self.count = read_u32(buf, base + 8)
+        p = base + 12
+        self._delta_base = None
+        if self.shift:
+            self._delta_base = p
+            p += self.count
+        self._base_arr = p
+
+    def get_offset(self, idx: int) -> int:
+        if idx < 0 or idx >= self.count:
+            raise IndexError(idx)
+        base_idx = idx >> self.shift
+        v = decode_be(
+            memoryview(self.buf),
+            self._base_arr + base_idx * self.base_size,
+            self.base_size,
+        )
+        if self._delta_base is not None:
+            v += self.buf[self._delta_base + idx]
+        return v
+
+    def densify(self) -> np.ndarray:
+        return np.array([self.get_offset(i) for i in range(self.count)], np.int64)
+
 
 class MultiMapPack:
     """int key -> int array.  Layout: [MaxKey:i32][SizeOfOffset:i32]
