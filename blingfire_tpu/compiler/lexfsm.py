@@ -100,12 +100,22 @@ class LexAutomaton:
     edges: dict[int, list[tuple[int, int]]]  # src -> [(class_iw, dst)]
     class_ivs: list[tuple]  # class_iw -> interval set of ORIGINAL iws
     n_classes: int
+    # full reaction sets per state (multi_ows mode only; else None) — the
+    # reference keeps ALL matched rule ids for multi-Moore automata
+    # (fa_fsm2fsm --out-type=moore-mdfa path) instead of min-resolution
+    state_ows: dict[int, list[int]] | None = None
 
 
-def build_lex_automaton(groups) -> LexAutomaton:
-    # 1. Glushkov over combined root: alt over groups with distinct finals
+def build_lex_automaton(groups, multi_ows: bool = False) -> LexAutomaton:
+    # 1. Glushkov over combined root: alt over groups with distinct finals.
+    # Each group keeps its OWN initial (fa_nfalist2nfa merges rule NFAs with
+    # one initial state per rule, doc/tools.txt:240-262 sample 5), so the
+    # spec-any "explicit entry shadows my ANY route" rule applies per RULE at
+    # the start state, not across rules (FANfa2Dfa_t.h:555-635 appends a
+    # state's AnyDst for exactly the iws THAT state lacks).
     leaves: list[Leaf] = []
     first_all: set[int] = set()
+    group_firsts: list[set[int]] = []
     follow: dict[int, set[int]] = {}
     leaf_group: dict[int, int] = {}  # last-positions -> group id
     group_final_leaves: list[tuple[int, int]] = []  # (leaf, group)
@@ -117,6 +127,7 @@ def build_lex_automaton(groups) -> LexAutomaton:
         if nullable:
             raise ValueError(f"group {gid} accepts the empty string")
         first_all |= first
+        group_firsts.append(first)
         for a, b in follows:
             follow.setdefault(a, set()).add(b)
         for lp in last:
@@ -202,12 +213,12 @@ def build_lex_automaton(groups) -> LexAutomaton:
         mentions or blocks, plus the pure-ANY destset).  Explicit entries
         shadow that position's ANY route; blocked (negated) entries kill it
         (FANfaCreator_char.cpp:170-186 + runtime exact-then-ANY lookup)."""
-        plist = [-1] if -1 in pset else list(pset)
         per_p = []
         classes = set()
         any_all = set()
-        for p in plist:
-            succ = first_all if p == -1 else follow.get(p, set())
+        for p in pset:
+            # negative = virtual per-group initial marker (-1 - gid)
+            succ = group_firsts[-1 - p] if p < 0 else follow.get(p, set())
             expl = {}
             blocked = set()
             any_t = set()
@@ -242,8 +253,15 @@ def build_lex_automaton(groups) -> LexAutomaton:
     state_of: dict[frozenset, int] = {}
     edges: dict[int, list[tuple[int, int]]] = {}
     ows: list[int] = []
+    ows_sets: list[tuple[int, ...]] = []
     finals: list[bool] = []
     order: list[frozenset] = []
+
+    # multi_ows keeps EVERY group id ending at a position, not just the min
+    leaf_groups: dict[int, set[int]] = {}
+    if multi_ows:
+        for lp, gid in group_final_leaves:
+            leaf_groups.setdefault(lp, set()).add(gid)
 
     def intern(pset: frozenset) -> int:
         s = state_of.get(pset)
@@ -251,12 +269,19 @@ def build_lex_automaton(groups) -> LexAutomaton:
             s = len(order)
             state_of[pset] = s
             order.append(pset)
-            gids = [int(final_of_leaf[p]) for p in pset if p != -1 and final_of_leaf[p] != -1]
+            gids = [int(final_of_leaf[p]) for p in pset if p >= 0 and final_of_leaf[p] != -1]
             ows.append(min(gids) if gids else -1)
             finals.append(bool(gids))
+            if multi_ows:
+                gs: set[int] = set()
+                for p in pset:
+                    if p >= 0:
+                        gs |= leaf_groups.get(p, set())
+                ows_sets.append(tuple(sorted(gs)))
         return s
 
-    start = intern(frozenset({-1}))  # virtual start marker
+    # virtual start: one marker per group = one NFA initial per rule
+    start = intern(frozenset(-1 - gid for gid in range(len(groups))))
 
     qi = 0
     while qi < len(order):
@@ -286,7 +311,13 @@ def build_lex_automaton(groups) -> LexAutomaton:
     state_ow = np.array(ows, np.int32)
 
     # 4. Moore minimization (partition refinement over full class alphabet)
-    aut = LexAutomaton(n, start, final, state_ow, edges, [iv_norm(c) for c in class_ivs], n_classes)
+    sows = (
+        {s: list(t) for s, t in enumerate(ows_sets) if t} if multi_ows else None
+    )
+    aut = LexAutomaton(
+        n, start, final, state_ow, edges,
+        [iv_norm(c) for c in class_ivs], n_classes, state_ows=sows,
+    )
     return _minimize(aut)
 
 
@@ -304,7 +335,15 @@ def _minimize(aut: LexAutomaton) -> LexAutomaton:
             return part[d]
         return -1000 + d  # dead (-2) / none (-1) sentinels
 
-    part = np.unique(aut.state_ow, return_inverse=True)[1].astype(np.int64)
+    if aut.state_ows is not None:
+        # partition by the FULL reaction set, not the min-resolved Ow
+        key2id: dict[tuple, int] = {}
+        part = np.zeros(n, np.int64)
+        for s in range(n):
+            key = tuple(aut.state_ows.get(s, ()))
+            part[s] = key2id.setdefault(key, len(key2id))
+    else:
+        part = np.unique(aut.state_ow, return_inverse=True)[1].astype(np.int64)
     while True:
         sigs = {}
         new_part = np.zeros(n, np.int64)
@@ -363,13 +402,21 @@ def _minimize(aut: LexAutomaton) -> LexAutomaton:
     final2 = np.zeros(n2, bool)
     ow2 = np.full(n2, -1, np.int32)
     edges2: dict[int, list[tuple[int, int]]] = {}
+    sows2: dict[int, list[int]] | None = (
+        {} if aut.state_ows is not None else None
+    )
     for b, nid in new_ids.items():
         s = int(reps[b])
         final2[nid] = aut.final[s]
         ow2[nid] = aut.state_ow[s]
+        if sows2 is not None and s in aut.state_ows:
+            sows2[nid] = aut.state_ows[s]
         es = []
         for c, d in sorted(aut.edges.get(s, [])):
             es.append((c, d if d < 0 else new_ids[int(part[d])]))
         if es:
             edges2[nid] = es
-    return LexAutomaton(n2, 0, final2, ow2, edges2, aut.class_ivs, aut.n_classes)
+    return LexAutomaton(
+        n2, 0, final2, ow2, edges2, aut.class_ivs, aut.n_classes,
+        state_ows=sows2,
+    )

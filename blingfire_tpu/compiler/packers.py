@@ -286,21 +286,33 @@ def pack_moore_mdfa(
     edges: dict[int, list[tuple[int, int]]],  # src -> [(iw, dst)]
     state_ows: dict[int, list[int]],  # src -> sorted Ows set (absent = none)
     dst_size: int = 3,
+    alphabet_ranges: list[tuple[int, int]] | None = None,  # ORIGINAL iw ranges
+    iw_map_entries: list[tuple[int, int]] | None = None,  # original -> internal
 ) -> bytes:
     """Packed multi-Moore automaton (FADfaPack_triv layout, PARA states).
 
     Like the Mealy image, the trailing Ow slot of a state holds an offset
     into a chains store appended after the body — but here the chain is the
     *state's* Ows set, read back by FAState2Ows_pack_triv::GetOws
-    (blingfireclient.library/src/FAState2Ows_pack_triv.cpp:46-170)."""
+    (blingfireclient.library/src/FAState2Ows_pack_triv.cpp:46-170).
+
+    When ``iw_map_entries`` is given the image carries a --remap-iws header
+    (alphabet in ORIGINAL iws + packed Iw2Iw map; edges use INTERNAL iws),
+    same layout as ``pack_moore_dfa``."""
     assert initial == 0, "state 0 must be the initial state"
-    all_iws = sorted({iw for es in edges.values() for (iw, _d) in es})
-    assert all_iws, "empty automaton"
-    ranges = _alphabet_ranges(np.array(all_iws))
+    remap = iw_map_entries is not None
+    if remap:
+        ranges = alphabet_ranges
+        iw2iw_dump = pack_iw_map(iw_map_entries)
+    else:
+        all_iws = sorted({iw for es in edges.values() for (iw, _d) in es})
+        assert all_iws, "empty automaton"
+        ranges = _alphabet_ranges(np.array(all_iws))
+        iw2iw_dump = b""
 
     ows = ChainsWriter(4)
 
-    header_size = 12 + 8 * len(ranges)
+    header_size = 12 + 8 * len(ranges) + (4 + len(iw2iw_dump) if remap else 0)
     state_meta = []
     for s in range(n_states):
         es = sorted(edges.get(s, []))
@@ -327,9 +339,16 @@ def pack_moore_mdfa(
     body_end = pos
 
     out = bytearray()
-    out += struct.pack("<iii", dst_size, body_end, 2 * len(ranges))
+    out += struct.pack(
+        "<iiI", dst_size, body_end,
+        (0x80000000 if remap else 0) | (2 * len(ranges)),
+    )
     for a, b in ranges:
         out += struct.pack("<ii", a, b)
+    if remap:
+        out += struct.pack("<i", len(iw2iw_dump))
+        out += iw2iw_dump
+    assert len(out) == header_size
     dead = (1 << (8 * dst_size)) - 1
     for s in range(n_states):
         es, iw_size, iw_code, ow_off, ow_size, _sz = state_meta[s]

@@ -193,6 +193,50 @@ BOOLEAN_PARAMS = frozenset(
 )
 
 
+class Dir(enum.IntEnum):
+    # word reading direction (FAFsmConst.h:122-125)
+    L2R = 0
+    R2L = 1
+    AFF = 2
+
+
+class Tr(enum.IntEnum):
+    # word transformation types (FAFsmConst.h:130-136)
+    HYPH_REDUP = 0
+    HYPH_REDUP_REV = 1
+    PREFIX = 2
+    PREFIX_REV = 3
+    UCF = 4
+    UCF_REV = 5
+
+
+# WRE token-type bit mask (FAFsmConst.h:93-96)
+WRE_TT_TEXT = 1
+WRE_TT_TAGS = 2
+WRE_TT_DCTS = 4
+WRE_TT_DEFAULT = WRE_TT_TEXT | WRE_TT_TAGS | WRE_TT_DCTS
+
+# WRE types (FAFsmConst.h:101-104)
+WRE_TYPE_RS = 0
+WRE_TYPE_MOORE = 1
+WRE_TYPE_MEALY = 2
+
+# WRE packed-conf int indices (FAFsmConst.h:109-117)
+WRE_CONF_WRE_TYPE = 0
+WRE_CONF_TOKEN_TYPE = 1
+WRE_CONF_TAG_OW_BASE = 2
+WRE_CONF_TXT_DIG = 3
+WRE_CONF_DCT_DIG = 4
+WRE_CONF_FSM1 = 5
+WRE_CONF_FSM2 = 6
+WRE_CONF_TRBR = 7
+WRE_CONF_COUNT = 8
+
+# log-prob clamps (FAFsmConst.h:360-361)
+MIN_LOG_PROB = -80.0
+MAX_LOG_PROB = 0.0
+
+
 class TokAlgo(enum.IntEnum):
     # FAFsmConst.h:403-415
     DEFAULT = 0
