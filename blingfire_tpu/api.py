@@ -234,6 +234,48 @@ class TokenizerHandle:
             return r
         return self._lexer.text_to_sentences(text)
 
+    def _native_str_offsets(self, fname: str, text, sep: str):
+        """(text, starts, ends) via the native runtime, or None."""
+        nt = self._native_rt()
+        if nt is None:
+            return None
+        import ctypes
+
+        lib, h, _buf = nt
+        if isinstance(text, str):
+            text = text.encode("utf-8")
+        maxn = 4 * len(text) + 64
+        out = ctypes.create_string_buffer(maxn)
+        starts = (ctypes.c_int32 * maxn)()
+        ends = (ctypes.c_int32 * maxn)()
+        n = getattr(lib, fname)(
+            text, len(text), out, starts, ends, maxn, ctypes.c_void_p(h)
+        )
+        if n < 0:
+            return None
+        s = out.raw[: max(n - 1, 0)].decode("utf-8", errors="replace")
+        k = len(s.split(sep)) if s else 0
+        return s, list(starts[:k]), list(ends[:k])
+
+    def text_to_words_with_offsets(self, text: bytes | str):
+        """(words_text, starts, ends) ~ TextToWordsWithOffsetsWithModel
+        (blingfiretokdll.cpp:415-573)."""
+        assert self._lexer is not None, "model has no [wbd] section"
+        if self._native_rt() is not None:
+            return self._native_str_offsets(
+                "TextToWordsWithOffsetsWithModel", text, " "
+            )
+        return self._lexer.text_to_words_with_offsets(text)
+
+    def text_to_sentences_with_offsets(self, text: bytes | str):
+        """(sents_text, starts, ends) ~ TextToSentencesWithOffsetsWithModel."""
+        assert self._lexer is not None, "model has no [wbd] section"
+        if self._native_rt() is not None:
+            return self._native_str_offsets(
+                "TextToSentencesWithOffsetsWithModel", text, "\n"
+            )
+        return self._lexer.text_to_sentences_with_offsets(text)
+
     # -- hyphenation (blingfiretokdll.cpp:824-911) -------------------------
 
     def word_hyphenation(
@@ -322,12 +364,23 @@ def normalize_spaces(text: bytes | str, u_space: int = SP_DELIMITER) -> str | No
     return "".join(chr(c) for c in out)
 
 
-def _fnv_hash(data: bytes) -> np.uint32:
-    h = np.uint32(2166136261)
+_U32 = 0xFFFFFFFF
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _fnv_hash(data: bytes) -> int:
+    """FNV-1a over *signed* chars (the reference hashes `const char*`, so
+    bytes >= 0x80 are sign-extended before the xor)."""
+    h = 2166136261
     for b in data:
-        h = np.uint32(h ^ np.uint32(np.int8(b).astype(np.uint32) & 0xFFFFFFFF))
-        h = np.uint32(h * np.uint32(16777619))
+        h = ((h ^ ((b - 256 if b >= 0x80 else b) & _U32)) * 16777619) & _U32
     return h
+
+
+def _sext32(v: int) -> int:
+    """int32 -> uint64 via sign extension (C implicit conversion)."""
+    v &= _U32
+    return (v | 0xFFFFFFFF00000000) if v & 0x80000000 else v
 
 
 EOS_HASH = None
@@ -345,21 +398,18 @@ def text_to_hashes(
     if word_ngrams <= 0 and len(text) < 0:
         return None
     if EOS_HASH is None:
-        EOS_HASH = int(np.int32(_fnv_hash(b"</s>")))
+        EOS_HASH = _fnv_hash(b"</s>")
 
-    with np.errstate(over="ignore"):
-        words = text.split(b" ")
-        hashes = [int(np.int32(_fnv_hash(w))) for w in words]
-        n = len(hashes)
-        out = hashes + [0] * ((word_ngrams - 1) * n)
+    words = text.split(b" ")
+    # word hashes are stored as int32 (negative when bit 31 set)
+    hashes = [h - (1 << 32) if h & 0x80000000 else h for h in (_fnv_hash(w) for w in words)]
+    n = len(hashes)
+    out = hashes + [0] * ((word_ngrams - 1) * n)
 
-        def sext(v):  # int32 -> uint64 via sign extension (C implicit conv)
-            return np.uint64(np.int64(np.int32(v)))
-
-        for i in range(n):
-            h = sext(out[i])
-            for j in range(i + 1, i + word_ngrams):
-                temp = sext(out[j]) if j < n else sext(EOS_HASH)
-                h = np.uint64(h * np.uint64(116049371) + temp)
-                out[(j - i) * n + i] = int(h % np.uint64(bucket_size))
-        return out
+    for i in range(n):
+        h = _sext32(out[i])
+        for j in range(i + 1, i + word_ngrams):
+            temp = _sext32(out[j]) if j < n else _sext32(EOS_HASH)
+            h = (h * 116049371 + temp) & _U64
+            out[(j - i) * n + i] = h % bucket_size
+    return out

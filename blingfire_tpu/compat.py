@@ -56,7 +56,7 @@ def text_to_words_with_model(h, s: str) -> str:
 
 
 def text_to_words_with_offsets(s: str):
-    r = _default("wbd.bin").model and _default("wbd.bin")._lexer.text_to_words_with_offsets(s)
+    r = _default("wbd.bin").text_to_words_with_offsets(s)
     if r is None:
         return "", []
     text, starts, ends = r
@@ -64,7 +64,7 @@ def text_to_words_with_offsets(s: str):
 
 
 def text_to_sentences_and_offsets(s: str):
-    r = _default("sbd.bin")._lexer.text_to_sentences_with_offsets(s)
+    r = _default("sbd.bin").text_to_sentences_with_offsets(s)
     if r is None:
         return "", []
     text, starts, ends = r

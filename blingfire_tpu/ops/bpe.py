@@ -137,19 +137,82 @@ def _float_desc_key(r: jax.Array) -> jax.Array:
     return ~asc  # descending
 
 
+def _lower_bound(c: jax.Array, targets: jax.Array) -> jax.Array:
+    """Row-wise lower_bound: first index i with c[b, i] >= targets[b, j].
+
+    ``c`` (B, NS) is row-monotone non-decreasing; returns (B, M) int32.
+    Unrolled binary search — ceil(log2(NS)) cheap gathers instead of a sort.
+    """
+    B, NS = c.shape
+    M = targets.shape[1]
+    lo = jnp.zeros((B, M), jnp.int32)
+    hi = jnp.full((B, M), NS, jnp.int32)
+    steps = max(1, (NS - 1).bit_length())
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        cm = jnp.take_along_axis(c, jnp.minimum(mid, NS - 1), axis=1)
+        ge = cm >= targets
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    return lo
+
+
+def _bitonic_swap_j(a: jax.Array, j: int) -> jax.Array:
+    """Partner values v[i ^ j] along the last axis (j a power of two)."""
+    B, n = a.shape
+    r = a.reshape(B, n // (2 * j), 2, j)
+    return jnp.flip(r, axis=2).reshape(B, n)
+
+
+def _bitonic_sort(keys: tuple, payload: tuple = ()) -> tuple:
+    """Ascending lexicographic bitonic sort network over the last axis.
+
+    All arrays are (B, n) with n a power of two; ``keys`` order the rows,
+    ``payload`` arrays are permuted identically.  Pure min/max + reshape
+    stages — orders of magnitude faster on TPU than jax.lax.sort, which
+    dominated this kernel's runtime AND compile time.
+    """
+    arrays = list(keys) + list(payload)
+    nk = len(keys)
+    n = arrays[0].shape[1]
+    assert n & (n - 1) == 0, "bitonic size must be a power of two"
+    iota = jnp.arange(n, dtype=jnp.int32)[None, :]
+    k = 2
+    while k <= n:
+        j = k >> 1
+        while j >= 1:
+            partners = [_bitonic_swap_j(a, j) for a in arrays]
+            # lexicographic "self <= partner" over the key arrays
+            le = None
+            eq = None
+            for v, p in zip(arrays[:nk], partners[:nk]):
+                lt = v < p
+                le = lt if le is None else le | (eq & lt)
+                eq = (v == p) if eq is None else eq & (v == p)
+            le = le | eq
+            up = (iota & k) == 0  # ascending block
+            lo_half = (iota & j) == 0
+            take_small = lo_half == up
+            sel_self = take_small == le  # keep own value when it is on the
+            # correct side of the pair ordering
+            arrays = [
+                jnp.where(sel_self, v, p) for v, p in zip(arrays, partners)
+            ]
+            j >>= 1
+        k <<= 1
+    return tuple(arrays)
+
+
 K1 = 8  # match slots per start position
 
 
-@functools.partial(jax.jit, static_argnames=("a_max",))
-def bpe_segment(
+def _walk_impl(
     tables: BpeDeviceTables,
     x_iw: jax.Array,  # int32 (B, N) dense input weights, -1 = no-transition
     is_spm: jax.Array,  # bool (B, N) raw symbol == U+2581
     lengths: jax.Array,  # int32 (B,)
-    unk_id: jax.Array,  # int32 scalar
-    a_max: int,
 ):
-    """Returns (ids, starts, ends, counts, fallback) — see module docstring."""
+    """WALK phase: returns (count, m_pack, m_rank, slot_overflow)."""
     B, N = x_iw.shape
     L = tables.max_len
     pos = jnp.arange(N, dtype=jnp.int32)
@@ -175,9 +238,13 @@ def bpe_segment(
     #   bits 20..26 depth d         (max token length < 128)
     #   bit  27     whole-token flag
     # empty slot = -1
+    # Slot layout is (K1, B, N) — K1 LEADING: with K1 minor the TPU pads the
+    # 8-wide lane dimension to 128, a 16x memory blowup that made the filter
+    # phase dominate the whole kernel.
     use_trie = tables.trie_next is not None
     V = tables.trie_v
     A = tables.trie_a
+    kslot = jnp.arange(K1, dtype=jnp.int32)[:, None, None]  # (K1, 1, 1)
 
     def walk_body(st):
         (d, state, sum_ow, count, m_pack, m_rank, overflow) = st
@@ -209,14 +276,14 @@ def bpe_segment(
         nxt_spm = jax.lax.dynamic_slice(spm_or_end, (0, d + 1), (B, N))
         packed = mid | (d << 20) | (nxt_spm.astype(jnp.int32) << 27)
 
-        onehot = (count[..., None] == jnp.arange(K1)[None, None, :]) & fin[..., None]
-        m_pack = jnp.where(onehot, packed[..., None], m_pack)
+        onehot = (count[None] == kslot) & fin[None]  # (K1, B, N)
+        m_pack = jnp.where(onehot, packed[None], m_pack)
         if tables.with_merges:
             if use_trie:
                 mrank = tables.rank_by_id[jnp.clip(mid, 0, V - 1)]
             else:
                 mrank = tables.ranks_tab[jnp.clip(sum_ow, 0, nkeys - 1)]
-            m_rank = jnp.where(onehot, mrank[..., None], m_rank)
+            m_rank = jnp.where(onehot, mrank[None], m_rank)
         overflow = overflow | (fin & (count >= K1))
         count = count + fin.astype(jnp.int32)
         return (d + 1, ns, sum_ow, count, m_pack, m_rank, overflow)
@@ -229,15 +296,34 @@ def bpe_segment(
         init_state,
         jnp.zeros((B, N), jnp.int32),
         jnp.zeros((B, N), jnp.int32),
-        jnp.full((B, N, K1), -1, jnp.int32),
-        jnp.zeros((B, N, K1) if tables.with_merges else (1, 1, 1), jnp.float32),
+        jnp.full((K1, B, N), -1, jnp.int32),
+        jnp.zeros((K1, B, N) if tables.with_merges else (1, 1, 1), jnp.float32),
         jnp.zeros((B, N), bool),
     )
     (_, _, _, count, m_pack, m_rank, slot_overflow) = jax.lax.while_loop(
         walk_cond, walk_body, st0
     )
+    return count, m_pack, m_rank, slot_overflow
 
-    # profiling aid: BTL_BPE_PHASE=walk|sort|claim truncates the graph after
+
+def _resolve_impl(
+    tables: BpeDeviceTables,
+    count: jax.Array,  # int32 (B, N) matches per start
+    m_pack: jax.Array,  # int32 (K1, B, N) packed match slots
+    m_rank: jax.Array,  # float32 (K1, B, N) or (1,1,1)
+    slot_overflow: jax.Array,  # bool (B, N)
+    is_spm: jax.Array,
+    lengths: jax.Array,
+    unk_id: jax.Array,
+    a_max: int,
+):
+    """FILTER+SORT+CLAIM+EMIT phases on the walk's match slots."""
+    _, B, N = m_pack.shape
+    pos = jnp.arange(N, dtype=jnp.int32)
+    valid = pos[None, :] < lengths[:, None]  # (B, N)
+    kslot = jnp.arange(K1, dtype=jnp.int32)[:, None, None]  # (K1, 1, 1)
+
+    # profiling aid: BTL_BPE_PHASE=filter|sort|claim truncates the graph after
     # that phase (outputs keep a live data dependency so nothing is DCE'd)
     _phase = os.environ.get("BTL_BPE_PHASE", "")
 
@@ -248,32 +334,26 @@ def bpe_segment(
         a = jnp.zeros((B, 1), jnp.int32) + z
         return a, a, a, z + jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool)
 
-    if _phase == "walk":
-        return _phase_out(jnp.sum(m_pack) + jnp.sum(count))
-
-    m_id = m_pack & 0xFFFFF
-    m_end = pos[None, :, None] + ((m_pack >> 20) & 0x7F)
+    m_id = m_pack & 0xFFFFF  # (K1, B, N)
+    m_end = pos[None, None, :] + ((m_pack >> 20) & 0x7F)
     m_whole = ((m_pack >> 27) & 1) == 1
 
     # ---------------------------------------------------------------- FILTER
-    karange = jnp.arange(K1)[None, None, :]
-    valid_slot = karange < count[..., None]
+    # all slot-wise ops stay in (K1, B, N) layout (lane dim = N)
+    valid_slot = kslot < count[None]
     has = count > 0
 
     if tables.fast:
         # whole-token optimisation fires for slot k when the start is a ▁,
         # the match ends right before a ▁/EOS, and an earlier match exists
         # (…_bpe_t.h:189-206)
-        fired = m_whole & is_spm[..., None] & (karange >= 1) & valid_slot
-        dlast = jnp.max(jnp.where(fired, karange, -1), axis=-1)  # (B, N)
-        ff = jnp.where(
-            dlast >= 0,
-            jnp.take_along_axis(m_end, jnp.maximum(dlast, 0)[..., None], axis=-1)[
-                ..., 0
-            ],
-            pos[None, :],
-        )
-        survive = valid_slot & (karange >= dlast[..., None])
+        fired = m_whole & is_spm[None] & (kslot >= 1) & valid_slot
+        dlast = jnp.max(jnp.where(fired, kslot, -1), axis=0)  # (B, N)
+        ff_end = jnp.take_along_axis(
+            m_end, jnp.maximum(dlast, 0)[None], axis=0
+        )[0]
+        ff = jnp.where(dlast >= 0, ff_end, pos[None, :])
+        survive = valid_slot & (kslot >= dlast[None])
     else:
         ff = jnp.broadcast_to(pos[None, :], (B, N))
         survive = valid_slot
@@ -295,7 +375,7 @@ def bpe_segment(
         axis=1,
     )
 
-    survive = survive & visited[..., None]
+    survive = survive & visited[None]
 
     # unknown runs: consecutive visited positions with no match
     unk = visited & ~has
@@ -311,16 +391,21 @@ def bpe_segment(
     )
 
     # ------------------------------------------------------------------ SORT
-    # real arc slots (B, N*K1) + unknown arc slots (B, N)
-    r_start = jnp.broadcast_to(pos[None, :, None], (B, N, K1)).reshape(B, N * K1)
-    r_end = m_end.reshape(B, N * K1)
-    r_id = m_id.reshape(B, N * K1)
+    # real arc slots flattened slot-major: flat index k*N + p (the relative
+    # order of arcs only matters through the (rank, id, start) sort keys,
+    # which are unique per arc, so any flat order works)
+    def _flat(a):  # (K1, B, N) -> (B, K1*N)
+        return jnp.moveaxis(a, 1, 0).reshape(B, K1 * N)
+
+    r_start = jnp.broadcast_to(jnp.tile(pos, K1)[None, :], (B, K1 * N))
+    r_end = _flat(m_end)
+    r_id = _flat(m_id)
     r_rank = (
-        m_rank.reshape(B, N * K1)
+        _flat(m_rank)
         if tables.with_merges
         else jnp.zeros((B, N * K1), jnp.float32)
     )
-    r_valid = survive.reshape(B, N * K1)
+    r_valid = _flat(survive)
 
     u_start = jnp.broadcast_to(pos[None, :], (B, N))
     u_end = jnp.minimum(run_end, N - 1)
@@ -337,19 +422,31 @@ def bpe_segment(
     n_arcs = jnp.sum(avalid, axis=1)
     arc_overflow = n_arcs > a_max
 
-    # sort key: (merge-rank desc,) id asc, start asc — packed into one int32
-    # (id < 2^20, start < N; N * max_id < 2^31 checked at build)
-    key2 = jnp.where(avalid, ids * jnp.int32(N) + starts, INT32_MAX)
+    if _phase == "filter":
+        return _phase_out(
+            jnp.sum(starts) + jnp.sum(ends) + jnp.sum(ids) + jnp.sum(n_arcs)
+        )
+
+    # sort order: (merge-rank desc,) id asc, start asc
     NS = avalid.shape[1]
-    idx0 = jnp.broadcast_to(jnp.arange(NS, dtype=jnp.int32)[None, :], (B, NS))
 
     if _gather_mode():
-        # TPU: XLA scatters are serialized and catastrophically slow, while
-        # sorts and gathers are fast — sort the full arc slab once and slice
-        # the top a_max entries.  The sort dominates the whole kernel, so
-        # when everything fits we pack (id, start, depth) into ONE int32 key
-        # and sort a single array with no payloads; the sorted key itself is
-        # then decoded back into (start, end, id).
+        # TPU: XLA scatters are serialized and catastrophically slow, and
+        # jax.lax.sort over the full (B, N*K1+N) arc slab dominated BOTH the
+        # kernel runtime (~90%) and the compile time.  Instead:
+        #   1. COMPACT the surviving arcs to (B, a_max) with an unrolled
+        #      binary search over the validity prefix-sum (log2(NS) cheap
+        #      row gathers — no sort, no scatter);
+        #   2. SORT only the compacted slab with a hand-rolled bitonic
+        #      min/max network (pure elementwise + reshape stages).
+        c = jnp.cumsum(avalid.astype(jnp.int32), axis=1)
+        A2 = 1 << max(1, (a_max - 1).bit_length())  # bitonic needs a pow2
+        targets = jnp.broadcast_to(
+            jnp.arange(1, A2 + 1, dtype=jnp.int32)[None, :], (B, A2)
+        )
+        src = jnp.minimum(_lower_bound(c, targets), NS - 1)
+        c_valid = targets <= n_arcs[:, None]
+
         max_id = int(tables.ids_tab.shape[0]) + abs(tables.id_offset) + 2
         depth_bits = max(N - 1, 1).bit_length()  # unknown runs span up to N-1
         packable = (
@@ -363,12 +460,9 @@ def bpe_segment(
             # cannot overflow (an unk_id beyond the vocabulary would be a
             # caller error anyway — same-id arcs keep their relative order)
             ids_safe = jnp.minimum(ids, jnp.int32(max_id))
-            keyp = jnp.where(
-                avalid,
-                ((ids_safe * jnp.int32(N) + starts) << depth_bits) | depth,
-                INT32_MAX,
-            )
-            (skey,) = jax.lax.sort([keyp], dimension=1, num_keys=1)
+            keyp = ((ids_safe * jnp.int32(N) + starts) << depth_bits) | depth
+            ckey = jnp.where(c_valid, jnp.take_along_axis(keyp, src, 1), INT32_MAX)
+            (skey,) = _bitonic_sort((ckey,))
             skey = skey[:, :a_max]
             s_valid = skey != INT32_MAX
             sk = jnp.where(s_valid, skey >> depth_bits, 0)
@@ -378,18 +472,30 @@ def bpe_segment(
                 s_valid, skey & ((1 << depth_bits) - 1), 0
             )
         else:
+            c_start = jnp.take_along_axis(starts, src, 1)
+            c_end = jnp.take_along_axis(ends, src, 1)
+            c_id = jnp.where(
+                c_valid, jnp.take_along_axis(ids, src, 1), INT32_MAX
+            )
+            keys = (c_id, jnp.where(c_valid, c_start, INT32_MAX))
             if tables.with_merges:
-                key_rank = jnp.where(avalid, _float_desc_key(ranks), INT32_MAX)
-                _, _, s_idx = jax.lax.sort(
-                    [key_rank, key2, idx0], dimension=1, num_keys=2
+                kr = jnp.where(
+                    c_valid,
+                    jnp.take_along_axis(_float_desc_key(ranks), src, 1),
+                    INT32_MAX,
                 )
+                keys = (kr,) + keys
+            out = _bitonic_sort(keys, (c_end,))
+            if tables.with_merges:
+                _, s_id, s_start, s_end = out
             else:
-                _, s_idx = jax.lax.sort([key2, idx0], dimension=1, num_keys=1)
-            s_idx = s_idx[:, :a_max]
-            s_start = jnp.take_along_axis(starts, s_idx, axis=1)
-            s_end = jnp.take_along_axis(ends, s_idx, axis=1)
-            s_id = jnp.take_along_axis(ids, s_idx, axis=1)
-            s_valid = jnp.take_along_axis(avalid, s_idx, axis=1)
+                s_id, s_start, s_end = out
+            s_id, s_start, s_end = (
+                s_id[:, :a_max], s_start[:, :a_max], s_end[:, :a_max]
+            )
+            s_valid = s_id != INT32_MAX
+            s_id = jnp.where(s_valid, s_id, 0)
+            s_start = jnp.where(s_valid, s_start, 0)
     else:
         # CPU: scatter-compact the valid arcs first (scatters are cheap
         # there), then sort only the (B, a_max) slab
@@ -588,3 +694,32 @@ def bpe_segment(
 
     fallback = jnp.any(slot_overflow & valid, axis=1) | arc_overflow | anomaly
     return out_ids, out_starts, out_ends, counts, fallback
+
+
+bpe_walk = jax.jit(_walk_impl)
+bpe_resolve = jax.jit(_resolve_impl, static_argnames=("a_max",))
+
+
+def bpe_segment(
+    tables: BpeDeviceTables,
+    x_iw: jax.Array,  # int32 (B, N) dense input weights, -1 = no-transition
+    is_spm: jax.Array,  # bool (B, N) raw symbol == U+2581
+    lengths: jax.Array,  # int32 (B,)
+    unk_id: jax.Array,  # int32 scalar
+    a_max: int,
+):
+    """Returns (ids, starts, ends, counts, fallback) — see module docstring.
+
+    Deliberately NOT one jit: compiling the match-walk while_loop together
+    with its slot-array consumers makes XLA pick layouts/fusions that slow
+    the whole kernel by >1000x (365 ms vs 0.15 ms per 4k-doc batch on
+    v5lite) and blow the compile time from ~15 s to ~470 s.  Two back-to-back
+    jit dispatches cost microseconds and keep both programs fast.
+    """
+    count, m_pack, m_rank, slot_overflow = bpe_walk(
+        tables, x_iw, is_spm, lengths
+    )
+    return bpe_resolve(
+        tables, count, m_pack, m_rank, slot_overflow, is_spm, lengths,
+        unk_id, a_max,
+    )
