@@ -1,16 +1,19 @@
 #!/usr/bin/env python
-"""Benchmark: gpt2 byte-BPE tokenization throughput (bytes/s/chip).
+"""Benchmark: tokenization throughput (bytes/s/chip) for the five BASELINE
+configs — gpt2 byte-BPE (primary), xlnet unigram, bert WordPiece, wbd
+TextToWords, syllab hyphenation.
 
-Prints exactly one JSON line:
+Prints exactly one JSON line whose required fields are
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+plus per-config extras (<name>_bytes_per_s, fallback percentages, e2e rates,
+compile times).  vs_baseline is against ~2 MB/s — the reference's published
+single-thread SentencePiece-runtime rate (2.05M lines in ~101 s,
+ldbsrc/xlnet/README.TXT:44-53; SURVEY.md §6).
 
-vs_baseline is against ~2 MB/s — the reference's published single-thread
-SentencePiece-runtime rate (2.05M lines ≈ 200MB in ~101s, SURVEY.md §6).
-
-Robustness: device->host transfers can wedge on the tunneled TPU; timing
-needs only block_until_ready, so the measurement chains batches through a
-device-side dependency and never requires reading values back.  A short
-d2h verification is attempted with its own watchdog and skipped if stuck.
+Robustness (VERDICT r2 #2): persistent XLA compilation cache, small-batch
+warm-up before the big shapes, the primary metric is recorded after EVERY
+timed round, every phase logs to stderr, and a watchdog emits the
+best-so-far JSON (never silently 0.0) if the process stalls.
 """
 
 from __future__ import annotations
@@ -20,8 +23,14 @@ import os
 import sys
 import threading
 import time
+import traceback
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(ROOT, ".jax_cache"))
 
 BASELINE_BYTES_PER_S = 2e6
+T0 = time.time()
 
 RESULT = {
     "metric": "gpt2_byte_bpe_tokenization",
@@ -31,124 +40,256 @@ RESULT = {
 }
 
 
-def emit_and_exit(code=0):
+def log(msg: str) -> None:
+    print(f"[bench +{time.time() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def emit_and_exit(code: int = 0) -> None:
     print(json.dumps(RESULT), flush=True)
     os._exit(code)
 
 
-def watchdog(seconds):
-    t = threading.Thread(target=lambda: (time.sleep(seconds), emit_and_exit(0)), daemon=True)
-    t.start()
+def watchdog(seconds: float) -> None:
+    def fire():
+        time.sleep(seconds)
+        RESULT["watchdog_fired_after_s"] = seconds
+        log("WATCHDOG fired — emitting best-so-far")
+        emit_and_exit(0)
+
+    threading.Thread(target=fire, daemon=True).start()
 
 
-def make_corpus(n_docs: int) -> list[bytes]:
-    lines = [
-        b"The quick brown fox jumps over the lazy dog while the committee discussed infrastructure development.",
-        b"In 2023, researchers at the university published 14 papers on machine learning applications in medicine.",
-        b'She said: "We cannot simply ignore the economic implications of these policy changes for rural areas."',
-        b"Tokenization throughput is measured in bytes per second per chip at the memory bandwidth roofline.",
-        b"Stock futures rose 0.8% after the report, with tech shares leading gains across most major indexes.",
-        b"El rapido zorro marron salta sobre el perro perezoso mientras el comite discute la infraestructura.",
-        b"Die schnelle braune Fuchs springt uber den faulen Hund, wahrend das Komitee die Infrastruktur bespricht.",
-        b"A seasoned negotiator, she balanced empathy with firmness, closing deals others considered impossible.",
-    ]
-    return [lines[i % len(lines)] for i in range(n_docs)]
+def record_primary(bps: float) -> None:
+    if bps > RESULT["value"]:
+        RESULT["value"] = round(bps, 1)
+        RESULT["vs_baseline"] = round(bps / BASELINE_BYTES_PER_S, 2)
 
 
-def main():
-    watchdog(480)
+LDB = "/root/reference/ldbsrc/ldb"
 
+
+def measure_sp(name: str, n_sym: int = 128,
+               batch: int = int(os.environ.get("BENCH_SP_BATCH", "16384")),
+               iters: int = int(os.environ.get("BENCH_SP_ITERS", "8")),
+               rounds: int = 3):
+    """Sustained device rate + fallback% + e2e rate for one [pos-dict] model."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.textgen import corpus_lines
     from blingfire_tpu.models.loader import load_model
     from blingfire_tpu.ops import bpe as bpe_ops
+    from blingfire_tpu.ops import unigram as uni_ops
+    from blingfire_tpu.runtime import metrics
     from blingfire_tpu.runtime.host import SpTokenizer
 
-    model = load_model("/root/reference/ldbsrc/ldb/gpt2.bin")
-    N = 128
-    B = 4096  # phase-1 batch (robust); phase 2 rebatches much larger
-    tok = SpTokenizer(model, max_doc_symbols=N)
-
-    docs = make_corpus(B)
-    batch_bytes = sum(len(d) for d in docs)
-    x, spm, lengths, _offs, _fb = tok._prep_batch(docs)
-    xj = jnp.asarray(x)
-    sj = jnp.asarray(spm)
-    lj = jnp.asarray(lengths)
+    model = load_model(f"{LDB}/{name}.bin")
+    tok = SpTokenizer(model, max_doc_symbols=n_sym)
     unk = jnp.int32(0)
-    a_max = tok.a_max
 
-    def record(bps):
-        if bps > RESULT["value"]:
-            RESULT["value"] = round(bps, 1)
-            RESULT["vs_baseline"] = round(bps / BASELINE_BYTES_PER_S, 2)
+    def dispatch(xj, sj, lj):
+        if tok.is_bpe:
+            return bpe_ops.bpe_segment(tok.tables, xj, sj, lj, unk, tok.a_max)
+        return uni_ops.unigram_segment(tok.tables, xj, lj, unk)
 
-    # ---- phase 1: queued single dispatches (known-robust path) -----------
-    # NOTE: the returned checksum must stay RAW — any algebraically-zero
-    # wrapper (x*0, min(x,0), x-x) is folded by XLA and the ENTIRE
-    # tokenization graph is dead-code-eliminated, turning the benchmark
-    # into a dispatch-latency measurement.  Model tables are passed as jit
-    # ARGUMENTS: gathers from giant closure constants hit a pathologically
-    # slow XLA path (and constants blow up compile time).
+    # Iterations are CHAINED through a data dependency: the next input is
+    # salted with a value that is 0 at runtime but data-dependent on the
+    # previous output, so queued executions can neither overlap nor be
+    # elided by the runtime (unchained back-to-back dispatches of identical
+    # programs measured "10 GB/s" on the tunneled device — physically
+    # impossible given the walk's carry traffic).  No device->host reads:
+    # the tunnel's d2h path can wedge (VERDICT r2 "What's missing" #1).
     @jax.jit
-    def step(tabs, x_iw, is_spm, lens):
-        ids, _st, _en, counts, _fb2 = bpe_ops.bpe_segment(
-            tabs, x_iw, is_spm, lens, unk, a_max
-        )
-        return jnp.sum(counts) + jnp.sum(ids[:, 0])
+    def salt_input(xv, counts):
+        s = jnp.where(jnp.sum(counts) == jnp.iinfo(jnp.int32).min, 1, 0)
+        return xv + s
 
-    r = step(tok.tables, xj, sj, lj)
-    jax.block_until_ready(r)
-
-    iters = 8
+    # -- warm-up: tiny batch compiles the programs & fills the disk cache ----
+    docs_small = corpus_lines(64, seed=1)
+    x, spm, lengths, _o, _f = tok._prep_batch(docs_small)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        r = step(tok.tables, xj, sj, lj)
+    r = dispatch(jnp.asarray(x), jnp.asarray(spm), jnp.asarray(lengths))
     jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / iters
-    record(batch_bytes / dt)
+    log(f"{name}: small-batch compile+run {time.perf_counter() - t0:.1f}s")
 
-    # ---- phase 2: large-batch, dispatch-amortized fused loop -------------
-    # Amortizes per-dispatch tunnel latency; B2 sized to keep the walk's
-    # (B, N, K1) match-slot buffers well inside HBM.
-    B2 = 32768
-    docs2 = make_corpus(B2)
-    batch_bytes2 = sum(len(d) for d in docs2)
-    x2, spm2, lengths2, _o2, _f2 = tok._prep_batch(docs2)
-    xj2 = jnp.asarray(x2)
-    sj2 = jnp.asarray(spm2)
-    lj2 = jnp.asarray(lengths2)
+    # -- big batch ----------------------------------------------------------
+    docs = corpus_lines(batch, seed=2)
+    nbytes = sum(len(d) for d in docs)
+    x, spm, lengths, _o, pre_fb = tok._prep_batch(docs)
+    xj, sj, lj = jnp.asarray(x), jnp.asarray(spm), jnp.asarray(lengths)
+    t0 = time.perf_counter()
+    r = dispatch(xj, sj, lj)
+    jax.block_until_ready(r)
+    compile_s = time.perf_counter() - t0
+    log(f"{name}: big-batch compile+run {compile_s:.1f}s  ({nbytes} B/batch)")
+    RESULT[f"{name}_compile_s"] = round(compile_s, 1)
 
-    ITERS = 8
+    best = 0.0
+    for rd in range(rounds):
+        xv = xj
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = dispatch(xv, sj, lj)
+            xv = salt_input(xj, r[3])
+        jax.block_until_ready((r, xv))
+        dt = (time.perf_counter() - t0) / iters
+        bps = nbytes / dt
+        best = max(best, bps)
+        RESULT[f"{name}_bytes_per_s"] = round(best, 1)
+        if name == "gpt2":
+            record_primary(best)  # after EVERY round — never lose a number
+        log(f"{name}: round {rd}: {bps / 1e6:.1f} MB/s ({dt * 1e3:.2f} ms/batch)")
 
-    @jax.jit
-    def step_many(tabs, x_iw, is_spm, lens):
-        def body(_i, s):
-            # the salt is 0 at runtime but NOT provably zero, so the loop
-            # body cannot be hoisted as loop-invariant (which would turn
-            # ITERS executions into one)
-            salt = jnp.where(s == jnp.iinfo(jnp.int32).min, 1, 0)
-            ids, _st, _en, counts, _fb2 = bpe_ops.bpe_segment(
-                tabs, x_iw + salt, is_spm, lens, unk, a_max
-            )
-            return (jnp.sum(counts) + jnp.sum(ids[:, 0])).astype(jnp.int32)
+    # -- fallback rate on the realistic corpus ------------------------------
+    # (device fallback flags need a d2h read — guarded by its own watchdog
+    # thread since the tunnel's d2h path can wedge; prep fallback is host-side)
+    fb = float(np.asarray(pre_fb).mean() * 100.0)
+    if tok.is_bpe:
+        got: dict = {}
 
-        return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
+        def read_fb():
+            try:
+                got["dev"] = np.asarray(r[4])
+            except Exception as e:  # surfaced below — never silent
+                got["err"] = repr(e)
 
-    try:
-        r2 = step_many(tok.tables, xj2, sj2, lj2)
-        jax.block_until_ready(r2)
-        for _ in range(2):
-            t0 = time.perf_counter()
-            r2 = step_many(tok.tables, xj2, sj2, lj2)
-            jax.block_until_ready(r2)
-            dt = (time.perf_counter() - t0) / ITERS
-            record(batch_bytes2 / dt)
-    except Exception:
-        pass  # keep the phase-1 measurement
+        th = threading.Thread(target=read_fb, daemon=True)
+        th.start()
+        th.join(timeout=60.0)
+        if "dev" in got:
+            fb = float((np.asarray(pre_fb) | got["dev"]).mean() * 100.0)
+        else:
+            RESULT[f"{name}_dev_fallback_unread"] = True
+            log(f"{name}: d2h of fallback flags unavailable "
+                f"({got.get('err', 'timed out — tunnel wedge')}); "
+                "reporting prep-side fallback only")
+    RESULT[f"{name}_fallback_pct"] = round(fb, 3)
+    log(f"{name}: fallback {fb:.3f}%")
+
+    return tok
+
+
+def measure_sp_e2e(name: str, tok) -> None:
+    """End-to-end rate: host prep + device + d2h collect + oracle fallbacks.
+
+    Runs last (per main()) because it requires d2h reads that can wedge the
+    tunneled device; the kernel-rate numbers are already recorded by then."""
+    from benchmarks.textgen import corpus_lines
+    from blingfire_tpu.runtime import metrics
+
+    c = metrics.Counters()
+    e2e_docs = corpus_lines(int(os.environ.get("BENCH_E2E_DOCS", "32768")), seed=3)
+    e2e_bytes = sum(len(d) for d in e2e_docs)
+    t0 = time.perf_counter()
+    tok.encode_corpus(e2e_docs, batch_docs=8192, counters=c)
+    dt = time.perf_counter() - t0
+    RESULT[f"{name}_e2e_bytes_per_s"] = round(e2e_bytes / dt, 1)
+    log(f"{name}: e2e {e2e_bytes / dt / 1e6:.1f} MB/s ({c.fallback_docs} fallbacks)")
+
+
+def measure_wordpiece(batch: int = int(os.environ.get("BENCH_LEX_BATCH", "4096"))):
+    from benchmarks.textgen import corpus_lines
+    from blingfire_tpu.models.loader import load_model
+    from blingfire_tpu.runtime.lexer_host import WordPieceTpu
+
+    model = load_model(f"{LDB}/bert_base_cased_tok.bin")
+    wp = WordPieceTpu(model)
+    docs = corpus_lines(256, seed=4)
+    wp.text_to_ids_batch(docs)  # compile + warm
+    log("bert: warm done")
+    docs = corpus_lines(batch, seed=5)
+    nbytes = sum(len(d) for d in docs)
+    t0 = time.perf_counter()
+    wp.text_to_ids_batch(docs)
+    dt = time.perf_counter() - t0
+    RESULT["bert_bytes_per_s"] = round(nbytes / dt, 1)
+    log(f"bert: {nbytes / dt / 1e6:.2f} MB/s")
+
+
+def measure_words(batch: int = int(os.environ.get("BENCH_LEX_BATCH", "4096"))):
+    from benchmarks.textgen import corpus_lines
+    from blingfire_tpu.models.loader import load_model
+    from blingfire_tpu.runtime.lexer_host import WordsTpu
+
+    model = load_model(f"{LDB}/wbd.bin")
+    w = WordsTpu(model)
+    w.text_to_words_batch(corpus_lines(256, seed=6))
+    log("wbd: warm done")
+    docs = corpus_lines(batch, seed=7)
+    nbytes = sum(len(d) for d in docs)
+    t0 = time.perf_counter()
+    w.text_to_words_batch(docs)
+    dt = time.perf_counter() - t0
+    RESULT["wbd_bytes_per_s"] = round(nbytes / dt, 1)
+    log(f"wbd: {nbytes / dt / 1e6:.2f} MB/s")
+
+
+def measure_hyph(n_words: int = int(os.environ.get("BENCH_HYPH_WORDS", "20000"))):
+    from benchmarks.textgen import corpus_lines
+    from blingfire_tpu.models.loader import load_model
+    from blingfire_tpu.runtime.hyph import HyphTpu
+
+    model = load_model(f"{LDB}/syllab.bin")
+    hy = HyphTpu(model.w2h)
+    words: list[list[int]] = []
+    for line in corpus_lines(4000, seed=8):
+        for w in line.decode("utf-8", "ignore").split():
+            w = w.strip(".,!?\"'")
+            if 2 <= len(w) <= 28 and w.isalpha():
+                words.append([ord(c) for c in w])
+            if len(words) >= n_words:
+                break
+        if len(words) >= n_words:
+            break
+    hy.process_batch(words[:64])  # warm
+    log("syllab: warm done")
+    nbytes = sum(len(w) for w in words)
+    t0 = time.perf_counter()
+    hy.process_batch(words)
+    dt = time.perf_counter() - t0
+    RESULT["syllab_bytes_per_s"] = round(nbytes / dt, 1)
+    log(f"syllab: {nbytes / dt / 1e6:.2f} MB/s over {len(words)} words")
+
+
+def main() -> None:
+    watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "450")))
+
+    import jax
+
+    log(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+
+    toks: dict = {}
+
+    def sp_rate(name):
+        def run():
+            toks[name] = measure_sp(name)
+        return run
+
+    def sp_e2e(name):
+        def run():
+            if name in toks:
+                measure_sp_e2e(name, toks[name])
+        return run
+
+    # d2h-free kernel rates first; everything needing device->host reads
+    # (which can wedge the tunnel) runs after the headline numbers are safe
+    steps = [
+        ("gpt2 (primary)", sp_rate("gpt2")),
+        ("xlnet", sp_rate("xlnet")),
+        ("bert wordpiece", measure_wordpiece),
+        ("wbd words", measure_words),
+        ("syllab w2h", measure_hyph),
+        ("gpt2 e2e", sp_e2e("gpt2")),
+        ("xlnet e2e", sp_e2e("xlnet")),
+    ]
+    for label, fn in steps:
+        try:
+            log(f"=== {label} ===")
+            fn()
+        except Exception:
+            log(f"{label} FAILED:\n{traceback.format_exc()}")
+            RESULT[f"error_{label.split()[0]}"] = traceback.format_exc(limit=1).strip()[-200:]
 
     emit_and_exit(0)
 
@@ -156,6 +297,7 @@ def main():
 if __name__ == "__main__":
     try:
         main()
-    except Exception as e:
-        RESULT["metric"] = f"gpt2_byte_bpe_tokenization (error: {type(e).__name__})"
+    except Exception:
+        log(traceback.format_exc())
+        RESULT["metric"] = "gpt2_byte_bpe_tokenization (error)"
         emit_and_exit(1)

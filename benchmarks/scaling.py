@@ -1,11 +1,24 @@
 #!/usr/bin/env python
-"""Data-parallel scaling efficiency: tokenization throughput 1 -> N devices.
+"""Data-parallel scaling evidence: tokenization throughput 1 -> N devices.
 
-On CPU (JAX_PLATFORMS=cpu with --xla_force_host_platform_device_count=N) this
-exercises the sharded program end to end; on a real TPU slice the same code
-measures ICI-backed scaling.  Target: >=90% efficiency (BASELINE.md).
+Two measurements (BASELINE.md target: >=90% efficiency 1 -> N hosts):
 
-Usage:  python benchmarks/scaling.py [--devices 8] [--batch 2048]
+  --cpu     : weak scaling on a virtual N-device CPU mesh
+              (JAX_PLATFORMS=cpu, --xla_force_host_platform_device_count=N).
+              This validates the sharded program end to end — shard layouts,
+              collective statistics, result parity — but NOT wall-clock
+              efficiency: all virtual devices share the same host cores, so
+              the per-device rate necessarily drops as N grows.  The
+              `checksum_consistent` field is the correctness signal here.
+  (default) : single-chip batch-size sweep on the real TPU.  Data-parallel
+              tokenization has zero cross-chip traffic except the psum'd
+              statistics scalar, so per-chip rate at saturation batch size is
+              the per-chip term of the N-chip rate; the sweep shows where the
+              chip saturates.
+
+Usage:
+  python benchmarks/scaling.py --cpu --devices 8 --out SCALING_r03.json
+  python benchmarks/scaling.py --batches 2048,8192,32768 --out SCALING_tpu.json
 """
 
 from __future__ import annotations
@@ -16,7 +29,9 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(ROOT, ".jax_cache"))
 
 
 def main():
@@ -24,52 +39,96 @@ def main():
     ap.add_argument("--devices", type=int, default=0, help="0 = all available")
     ap.add_argument("--batch", type=int, default=2048, help="docs per device")
     ap.add_argument("--cpu", action="store_true", help="force CPU virtual mesh")
+    ap.add_argument("--batches", type=str, default="2048,8192,32768",
+                    help="batch sizes for the single-chip sweep")
+    ap.add_argument("--out", type=str, default="", help="write JSON here too")
     args = ap.parse_args()
 
-    if args.cpu or not os.environ.get("JAX_PLATFORMS"):
-        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    if args.cpu:
+        nv = args.devices or 8
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={nv}"
+        ).strip()
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
+    from benchmarks.textgen import corpus_lines
     from blingfire_tpu.models.loader import load_model
     from blingfire_tpu.parallel.mesh import ShardedBpeRunner, data_parallel_mesh
     from blingfire_tpu.runtime.host import SpTokenizer
 
-    n_all = len(jax.devices())
-    n_max = args.devices or n_all
-
     model = load_model("/root/reference/ldbsrc/ldb/gpt2.bin")
     tok = SpTokenizer(model, max_doc_symbols=128)
 
-    line = b"The quick brown fox jumps over the lazy dog while the committee discussed it."
+    out = {"mode": "cpu_virtual_mesh" if args.cpu else "tpu_single_chip",
+           "backend": jax.default_backend(),
+           "n_devices_visible": len(jax.devices())}
 
-    results = {}
-    n = 1
-    while n <= n_max:
-        docs = [line] * (args.batch * n)
-        runner = ShardedBpeRunner(tok, mesh=data_parallel_mesh(n))
-        # warmup/compile
-        runner.run(docs[: runner.n_dp * 8])
-        t0 = time.perf_counter()
-        ids, counts, stats = runner.run(docs)
-        jax.block_until_ready(ids)
-        dt = time.perf_counter() - t0
-        total_bytes = len(line) * len(docs)
-        results[n] = total_bytes / dt
-        print(f"devices={n:2d}  {results[n]/1e6:8.2f} MB/s  tokens={stats.total_tokens}")
-        n *= 2
-
-    base = results[1]
-    out = {
-        "throughput_mb_s": {k: round(v / 1e6, 2) for k, v in results.items()},
-        "scaling_efficiency": {
+    if args.cpu:
+        n_max = args.devices or len(jax.devices())
+        results, checksums = {}, {}
+        n = 1
+        while n <= n_max:
+            docs = corpus_lines(args.batch * n, seed=11)
+            runner = ShardedBpeRunner(tok, mesh=data_parallel_mesh(n))
+            runner.run(docs[: runner.n_dp * 8])  # warmup/compile
+            t0 = time.perf_counter()
+            ids, counts, stats = runner.run(docs)
+            jax.block_until_ready(ids)
+            dt = time.perf_counter() - t0
+            total_bytes = sum(len(d) for d in docs)
+            results[n] = total_bytes / dt
+            # same leading shard of the corpus => same per-shard checksum on
+            # every mesh size only when results are sharding-independent; we
+            # compare the 1-device checksum of the first batch's docs instead
+            docs1 = corpus_lines(args.batch, seed=11)
+            _, _, s1 = runner.run(docs1)
+            checksums[n] = s1.checksum
+            print(f"devices={n:2d}  {results[n] / 1e6:8.2f} MB/s  "
+                  f"tokens={stats.total_tokens}  checksum={s1.checksum}")
+            n *= 2
+        base = results[1]
+        out["throughput_mb_s"] = {k: round(v / 1e6, 2) for k, v in results.items()}
+        out["wallclock_efficiency"] = {
             k: round(v / (base * k), 3) for k, v in results.items()
-        },
-    }
+        }
+        out["checksum_consistent"] = len(set(checksums.values())) == 1
+        out["note"] = ("virtual devices share host cores: wallclock efficiency "
+                       "is NOT the multi-chip number; checksum_consistent is "
+                       "the correctness signal")
+    else:
+        sweep = {}
+        for b in [int(x) for x in args.batches.split(",")]:
+            docs = corpus_lines(b, seed=12)
+            runner = ShardedBpeRunner(tok, mesh=data_parallel_mesh(1))
+            runner.run(docs[:64])
+            ids, counts, stats = runner.run(docs)  # compile big shape
+            jax.block_until_ready(ids)
+            iters = 4
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                ids, counts, stats = runner.run(docs)
+            jax.block_until_ready(ids)
+            dt = (time.perf_counter() - t0) / iters
+            total_bytes = sum(len(d) for d in docs)
+            sweep[b] = total_bytes / dt
+            print(f"batch={b:6d}  {sweep[b] / 1e6:8.2f} MB/s")
+        out["batch_sweep_mb_s"] = {k: round(v / 1e6, 2) for k, v in sweep.items()}
+        peak = max(sweep.values())
+        out["saturated_mb_s_per_chip"] = round(peak / 1e6, 2)
+
     print(json.dumps(out))
+    if args.out:
+        existing = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+        existing[out["mode"]] = out
+        with open(args.out, "w") as f:
+            json.dump(existing, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,13 @@ class ShardedBpeRunner:
         tables = self.tok.tables
         a_max = self.tok.a_max
 
+        # Two separate jit programs, like ops/bpe.bpe_segment: compiling the
+        # match-walk while_loop together with its consumers makes XLA pick
+        # pathological layouts (>1000x slower).  Data-parallel shardings
+        # propagate from the inputs through both programs (GSPMD), so the
+        # walk outputs stay on their shards with no resharding in between.
+        walk = jax.jit(lambda x, s, l: bpe_ops._walk_impl(tables, x, s, l))
+
         @functools.partial(
             jax.jit,
             out_shardings=(
@@ -63,9 +70,10 @@ class ShardedBpeRunner:
                 self._rep_sh,  # checksum
             ),
         )
-        def step(x_iw, is_spm, lengths, unk_id):
-            ids, _st, _en, counts, _fb = bpe_ops.bpe_segment(
-                tables, x_iw, is_spm, lengths, unk_id, a_max
+        def resolve(count, m_pack, m_rank, slot_ov, is_spm, lengths, unk_id):
+            ids, _st, _en, counts, _fb = bpe_ops._resolve_impl(
+                tables, count, m_pack, m_rank, slot_ov, is_spm, lengths,
+                unk_id, a_max,
             )
             # global statistics: XLA inserts the cross-shard reductions
             total = jnp.sum(counts)
@@ -76,6 +84,12 @@ class ShardedBpeRunner:
             weights = pos * jnp.int32(-1640531527) + 1  # Knuth multiplier
             checksum = jnp.sum(masked * weights, dtype=jnp.int32)
             return ids, counts, total, checksum
+
+        def step(x_iw, is_spm, lengths, unk_id):
+            count, m_pack, m_rank, slot_ov = walk(x_iw, is_spm, lengths)
+            return resolve(
+                count, m_pack, m_rank, slot_ov, is_spm, lengths, unk_id
+            )
 
         return step
 

@@ -157,13 +157,17 @@ class RefMorph:
         return None if n < 0 else out[:n].tolist()
 
     def wre(self, words, tags, dcts=None, max_out=4096):
+        # WRE parsing needs its own handle (Shim_LoadWre binds the parser
+        # conf keeper; the morph handle does not)
+        if not hasattr(self, "_wre_h"):
+            self._wre_h = lib().Shim_LoadWre(self._img)
         flat = _arr([c for w in words for c in w])
         lens = _arr([len(w) for w in words])
         tg = _arr(tags)
         dc = _arr(dcts) if dcts is not None else None
         out = np.zeros(max_out, np.int32)
         out_len = np.zeros(1, np.int32)
-        n = lib().Shim_Wre(self._h, _ip(flat), _ip(lens), _ip(tg),
+        n = lib().Shim_Wre(self._wre_h, _ip(flat), _ip(lens), _ip(tg),
                            _ip(dc) if dc is not None else None, len(words),
                            _ip(out), max_out, _ip(out_len))
         if n < 0:
