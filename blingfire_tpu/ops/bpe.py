@@ -203,7 +203,9 @@ def _bitonic_sort(keys: tuple, payload: tuple = ()) -> tuple:
     return tuple(arrays)
 
 
-K1 = 8  # match slots per start position
+K1 = 12  # match slots per start position: gpt2-class vocabularies have
+# 9+ token-prefixes at common word starts ('_researchers'), so 8 slots
+# overflowed ~3% of realistic docs into host fallback
 
 
 def _walk_impl(

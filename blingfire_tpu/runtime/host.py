@@ -226,9 +226,129 @@ class SpTokenizer:
                 id_offset=seg.id_offset,
             )
         self.n_doc = max_doc_symbols
-        self.a_max = a_max or max_doc_symbols * 2
+        # arc budget: every surviving arc of every non-whole-matched word
+        # competes in the claim; unusual words ("Supercalifragilistic…")
+        # produce ~5 arcs/position, so 2*N overflowed real text into
+        # fallback.  4*N covers everything seen on realistic corpora; docs
+        # beyond it still fall back correctly.
+        self.a_max = a_max or max_doc_symbols * 4
         self._oracle = SpTokenizerOracle(seg)
         self._sym2iw = self.comb.sym2iw
+        self._chunk_safe = self._compute_chunk_safe()
+
+    def _compute_chunk_safe(self) -> bool:
+        """True when documents may be split at ▁ boundaries without changing
+        the result: (a) no vocabulary piece has an INTERNAL ▁ (no ▁-labeled
+        transition leaves a non-initial state), so no arc can cross a split,
+        and (b) the single piece "▁" is accepted, so an unknown run can never
+        span a boundary.  Under (a)+(b) both the BPE greedy resolution and
+        the unigram Viterbi factorize exactly at every ▁ (every path passes
+        through the boundary, and all candidate scores beyond it share the
+        same prefix score)."""
+        comb = self.comb
+        m = comb.sym2iw
+        if SP_DELIMITER >= len(m):
+            return False
+        spm_iw = int(m[SP_DELIMITER])
+        if spm_iw < 0:
+            return False
+        occ = np.flatnonzero(comb.owner >= 0)
+        iw = occ - comb.base[comb.owner[occ]]
+        if np.any((iw == spm_iw) & (comb.owner[occ] != 0)):
+            return False  # internal-▁ pieces exist: splits can cut an arc
+        slot = int(comb.base[0]) + spm_iw
+        if not (0 <= slot < comb.n_slots) or comb.owner[slot] != 0:
+            return False
+        dst = int(comb.nxt[slot])
+        return dst >= 0 and bool(comb.final[dst])
+
+    def _split_chunks(self, syms: np.ndarray) -> list[np.ndarray] | None:
+        """Greedy whitespace-safe windowing: each chunk <= n_doc symbols and
+        every chunk after the first starts at a ▁.  None when a single word
+        exceeds the window (host oracle territory)."""
+        N = self.n_doc
+        n = len(syms)
+        pos = np.flatnonzero(syms == SP_DELIMITER)
+        chunks: list[np.ndarray] = []
+        start = 0
+        while n - start > N:
+            cand = pos[(pos > start) & (pos <= start + N)]
+            if len(cand) == 0:
+                return None
+            split = int(cand[-1])
+            chunks.append(syms[start:split])
+            start = split
+        chunks.append(syms[start:n])
+        return chunks
+
+    def _encode_overflow(
+        self, docs: list[bytes], unk_id: int, max_rows: int = 4096
+    ) -> list[list[int] | None]:
+        """Device-path ids for docs longer than the window (SURVEY §5 long-doc
+        handling): prep the full symbol stream, split at ▁ boundaries, run the
+        chunks as extra rows, stitch ids in order.  None entries = host oracle
+        (unsafe model, giant single word, invalid input, device fallback)."""
+        results: list[list[int] | None] = [None] * len(docs)
+        if not self._chunk_safe:
+            return results
+        per_doc: list[tuple[int, list[np.ndarray]]] = []
+        for i, d in enumerate(docs):
+            p = prepare_sp_doc(d, self.seg)
+            if not p.ok:
+                continue
+            chunks = self._split_chunks(p.syms)
+            if chunks is not None:
+                per_doc.append((i, chunks))
+        flat = [(i, c) for i, chunks in per_doc for c in chunks]
+        if not flat:
+            return results
+
+        import jax.numpy as jnp
+
+        N = self.n_doc
+        m = self._sym2iw
+        ids_rows: list[np.ndarray | None] = []
+        fb_rows: list[bool] = []
+        for lo in range(0, len(flat), max_rows):
+            part = flat[lo : lo + max_rows]
+            B = _round_up_pow2(len(part))
+            x = np.full((B, N), -1, np.int32)
+            spm = np.zeros((B, N), bool)
+            lengths = np.zeros(B, np.int32)
+            for r, (_i, c) in enumerate(part):
+                n = len(c)
+                x[r, :n] = np.where(c < len(m), m[np.minimum(c, len(m) - 1)], -1)
+                spm[r, :n] = c == SP_DELIMITER
+                lengths[r] = n
+            if self.is_bpe:
+                ids, _st, _en, counts, dev_fb = bpe_ops.bpe_segment(
+                    self.tables, jnp.asarray(x), jnp.asarray(spm),
+                    jnp.asarray(lengths), jnp.int32(unk_id), self.a_max,
+                )
+                dev_fb = np.asarray(dev_fb)
+            else:
+                from ..ops import unigram as uni_ops
+
+                ids, _st, _en, counts = uni_ops.unigram_segment(
+                    self.tables, jnp.asarray(x), jnp.asarray(lengths),
+                    jnp.int32(unk_id),
+                )
+                dev_fb = np.zeros(B, bool)
+            ids = np.asarray(ids)
+            counts = np.asarray(counts)
+            for r in range(len(part)):
+                fb_rows.append(bool(dev_fb[r]))
+                ids_rows.append(ids[r, : counts[r]])
+
+        row = 0
+        for i, chunks in per_doc:
+            k = len(chunks)
+            if any(fb_rows[row : row + k]):
+                row += k
+                continue  # device fallback on some chunk: host oracle
+            results[i] = np.concatenate(ids_rows[row : row + k]).tolist()
+            row += k
+        return results
 
     def _prep_batch(self, docs: list[bytes], force_numpy: bool = False):
         from .. import native
@@ -298,9 +418,24 @@ class SpTokenizer:
             dev_fb = np.zeros(len(docs_b), bool)
         ids = np.asarray(ids)
         counts = np.asarray(counts)
+        # long docs: whitespace-safe chunked device pass (host oracle only
+        # when that too declines)
+        over_idx = [i for i in range(len(docs_b)) if pre_fb[i]]
+        chunked = (
+            self._encode_overflow([docs_b[i] for i in over_idx], unk_id)
+            if over_idx
+            else []
+        )
+        over_map = dict(zip(over_idx, chunked))
         out: list[list[int]] = []
         for i, d in enumerate(docs_b):
-            if pre_fb[i] or dev_fb[i]:
+            if pre_fb[i]:
+                got = over_map.get(i)
+                out.append(
+                    got if got is not None
+                    else self._oracle.text_to_ids(d, unk_id=unk_id)
+                )
+            elif dev_fb[i]:
                 out.append(self._oracle.text_to_ids(d, unk_id=unk_id))
             elif lengths[i] == 0:
                 # invalid UTF-8 / empty input: the reference returns 0 ids
@@ -343,9 +478,27 @@ class SpTokenizer:
                 else:
                     ids, counts = np.asarray(handles[0]), np.asarray(handles[3])
                     dev_fb = np.zeros(len(idxs), bool)
+                over_idx = [k for k in range(len(idxs)) if pre_fb[k]]
+                chunked = (
+                    self._encode_overflow(
+                        [docs_chunk[k] for k in over_idx], unk_id
+                    )
+                    if over_idx
+                    else []
+                )
+                over_map = dict(zip(over_idx, chunked))
                 for k, i in enumerate(idxs):
                     d = docs_chunk[k]
-                    if pre_fb[k] or dev_fb[k]:
+                    if pre_fb[k]:
+                        got = over_map.get(k)
+                        if got is not None:
+                            c.chunked_docs += 1
+                            out[i] = got
+                            c.tokens_out += len(got)
+                        else:
+                            c.fallback_docs += 1
+                            out[i] = self._oracle.text_to_ids(d, unk_id=unk_id)
+                    elif dev_fb[k]:
                         c.fallback_docs += 1
                         out[i] = self._oracle.text_to_ids(d, unk_id=unk_id)
                     elif len(d) == 0:
@@ -391,6 +544,13 @@ class SpTokenizer:
         while inflight:
             collect(inflight.pop(0))
         return out
+
+
+def _round_up_pow2(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
 
 
 # Backwards-compatible alias

@@ -20,6 +20,7 @@ class Counters:
     docs_in: int = 0
     tokens_out: int = 0
     fallback_docs: int = 0
+    chunked_docs: int = 0
     invalid_docs: int = 0
     stage_seconds: dict = field(default_factory=lambda: defaultdict(float))
     batches: int = 0
@@ -31,6 +32,7 @@ class Counters:
             "docs_in": self.docs_in,
             "tokens_out": self.tokens_out,
             "fallback_docs": self.fallback_docs,
+            "chunked_docs": self.chunked_docs,
             "invalid_docs": self.invalid_docs,
             "batches": self.batches,
             "stage_seconds": dict(self.stage_seconds),
