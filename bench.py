@@ -10,18 +10,27 @@ compile times).  vs_baseline is against ~2 MB/s — the reference's published
 single-thread SentencePiece-runtime rate (2.05M lines in ~101 s,
 ldbsrc/xlnet/README.TXT:44-53; SURVEY.md §6).
 
-Robustness (VERDICT r2 #2): persistent XLA compilation cache, small-batch
-warm-up before the big shapes, the primary metric is recorded after EVERY
-timed round, every phase logs to stderr, and a watchdog emits the
-best-so-far JSON (never silently 0.0) if the process stalls.
+Robustness + honesty:
+- Each config runs in its OWN subprocess with a hard timeout: a wedged
+  device tunnel (observed: a d2h transfer that never completes also wedges
+  every subsequent compile in that process) can cost at most one config.
+  Children stream partial results line-by-line, so even a SIGKILLed child
+  contributes every number it recorded before the wedge.
+- Device rates are timed dispatch -> host read of a chained scalar.  On the
+  tunneled TPU backend jax.block_until_ready() can return before queued
+  executions actually finish (measured: 8 chained 260 ms executions
+  "blocked" in 0.9 ms, then a 4-byte d2h read took 23.8 s draining the
+  backlog), so wall-clocking to block_until_ready overstates throughput by
+  orders of magnitude.  Timing to read-completion of a value that
+  data-depends on every chained iteration cannot lie.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
-import threading
 import time
 import traceback
 
@@ -39,40 +48,31 @@ RESULT = {
     "vs_baseline": 0.0,
 }
 
+LDB = "/root/reference/ldbsrc/ldb"
+
 
 def log(msg: str) -> None:
     print(f"[bench +{time.time() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def emit_and_exit(code: int = 0) -> None:
-    print(json.dumps(RESULT), flush=True)
-    os._exit(code)
+def record(key: str, value) -> None:
+    """Record one metric.  In child mode, stream it to the parent
+    immediately so a later wedge/kill cannot lose it."""
+    RESULT[key] = value
+    if "--step" in sys.argv:
+        print("RESULT-JSON: " + json.dumps({key: value}), flush=True)
 
 
-def watchdog(seconds: float) -> None:
-    def fire():
-        time.sleep(seconds)
-        RESULT["watchdog_fired_after_s"] = seconds
-        log("WATCHDOG fired — emitting best-so-far")
-        emit_and_exit(0)
-
-    threading.Thread(target=fire, daemon=True).start()
-
-
-def record_primary(bps: float) -> None:
-    if bps > RESULT["value"]:
-        RESULT["value"] = round(bps, 1)
-        RESULT["vs_baseline"] = round(bps / BASELINE_BYTES_PER_S, 2)
-
-
-LDB = "/root/reference/ldbsrc/ldb"
+# ---------------------------------------------------------------------------
+# measurements (child-process side)
+# ---------------------------------------------------------------------------
 
 
 def measure_sp(name: str, n_sym: int = 128,
                batch: int = int(os.environ.get("BENCH_SP_BATCH", "16384")),
-               iters: int = int(os.environ.get("BENCH_SP_ITERS", "8")),
-               rounds: int = 3):
-    """Sustained device rate + fallback% + e2e rate for one [pos-dict] model."""
+               iters: int = int(os.environ.get("BENCH_SP_ITERS", "4")),
+               rounds: int = 2):
+    """Sustained device kernel rate + fallback% for one [pos-dict] model."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -81,7 +81,6 @@ def measure_sp(name: str, n_sym: int = 128,
     from blingfire_tpu.models.loader import load_model
     from blingfire_tpu.ops import bpe as bpe_ops
     from blingfire_tpu.ops import unigram as uni_ops
-    from blingfire_tpu.runtime import metrics
     from blingfire_tpu.runtime.host import SpTokenizer
 
     model = load_model(f"{LDB}/{name}.bin")
@@ -93,13 +92,9 @@ def measure_sp(name: str, n_sym: int = 128,
             return bpe_ops.bpe_segment(tok.tables, xj, sj, lj, unk, tok.a_max)
         return uni_ops.unigram_segment(tok.tables, xj, lj, unk)
 
-    # Iterations are CHAINED through a data dependency: the next input is
-    # salted with a value that is 0 at runtime but data-dependent on the
-    # previous output, so queued executions can neither overlap nor be
-    # elided by the runtime (unchained back-to-back dispatches of identical
-    # programs measured "10 GB/s" on the tunneled device — physically
-    # impossible given the walk's carry traffic).  No device->host reads:
-    # the tunnel's d2h path can wedge (VERDICT r2 "What's missing" #1).
+    # iterations are CHAINED through a data dependency (the salt is 0 at
+    # runtime but data-depends on the previous output), and the timed loop
+    # ends with a host READ of the chained value — see module docstring
     @jax.jit
     def salt_input(xv, counts):
         s = jnp.where(jnp.sum(counts) == jnp.iinfo(jnp.int32).min, 1, 0)
@@ -110,7 +105,7 @@ def measure_sp(name: str, n_sym: int = 128,
     x, spm, lengths, _o, _f = tok._prep_batch(docs_small)
     t0 = time.perf_counter()
     r = dispatch(jnp.asarray(x), jnp.asarray(spm), jnp.asarray(lengths))
-    jax.block_until_ready(r)
+    _ = int(np.asarray(r[3][0]))  # read = executed, not just queued
     log(f"{name}: small-batch compile+run {time.perf_counter() - t0:.1f}s")
 
     # -- big batch ----------------------------------------------------------
@@ -120,10 +115,10 @@ def measure_sp(name: str, n_sym: int = 128,
     xj, sj, lj = jnp.asarray(x), jnp.asarray(spm), jnp.asarray(lengths)
     t0 = time.perf_counter()
     r = dispatch(xj, sj, lj)
-    jax.block_until_ready(r)
+    _ = int(np.asarray(r[3][0]))
     compile_s = time.perf_counter() - t0
     log(f"{name}: big-batch compile+run {compile_s:.1f}s  ({nbytes} B/batch)")
-    RESULT[f"{name}_compile_s"] = round(compile_s, 1)
+    record(f"{name}_compile_s", round(compile_s, 1))
 
     best = 0.0
     for rd in range(rounds):
@@ -132,51 +127,35 @@ def measure_sp(name: str, n_sym: int = 128,
         for _ in range(iters):
             r = dispatch(xv, sj, lj)
             xv = salt_input(xj, r[3])
-        jax.block_until_ready((r, xv))
+        chk = int(np.asarray(xv[0, 0]))  # forces the WHOLE chain to finish
         dt = (time.perf_counter() - t0) / iters
         bps = nbytes / dt
         best = max(best, bps)
-        RESULT[f"{name}_bytes_per_s"] = round(best, 1)
-        if name == "gpt2":
-            record_primary(best)  # after EVERY round — never lose a number
-        log(f"{name}: round {rd}: {bps / 1e6:.1f} MB/s ({dt * 1e3:.2f} ms/batch)")
+        record(f"{name}_bytes_per_s", round(best, 1))
+        log(f"{name}: round {rd}: {bps / 1e6:.2f} MB/s "
+            f"({dt * 1e3:.2f} ms/batch, chk={chk})")
 
     # -- fallback rate on the realistic corpus ------------------------------
-    # (device fallback flags need a d2h read — guarded by its own watchdog
-    # thread since the tunnel's d2h path can wedge; prep fallback is host-side)
     fb = float(np.asarray(pre_fb).mean() * 100.0)
     if tok.is_bpe:
-        got: dict = {}
-
-        def read_fb():
-            try:
-                got["dev"] = np.asarray(r[4])
-            except Exception as e:  # surfaced below — never silent
-                got["err"] = repr(e)
-
-        th = threading.Thread(target=read_fb, daemon=True)
-        th.start()
-        th.join(timeout=60.0)
-        if "dev" in got:
-            fb = float((np.asarray(pre_fb) | got["dev"]).mean() * 100.0)
-        else:
-            RESULT[f"{name}_dev_fallback_unread"] = True
-            log(f"{name}: d2h of fallback flags unavailable "
-                f"({got.get('err', 'timed out — tunnel wedge')}); "
-                "reporting prep-side fallback only")
-    RESULT[f"{name}_fallback_pct"] = round(fb, 3)
+        fb = float((np.asarray(pre_fb) | np.asarray(r[4])).mean() * 100.0)
+    record(f"{name}_fallback_pct", round(fb, 3))
     log(f"{name}: fallback {fb:.3f}%")
-
     return tok
 
 
-def measure_sp_e2e(name: str, tok) -> None:
-    """End-to-end rate: host prep + device + d2h collect + oracle fallbacks.
-
-    Runs last (per main()) because it requires d2h reads that can wedge the
-    tunneled device; the kernel-rate numbers are already recorded by then."""
+def measure_sp_e2e(name: str) -> None:
+    """End-to-end rate: host prep + device + d2h collect + oracle fallbacks."""
     from benchmarks.textgen import corpus_lines
+    from blingfire_tpu.models.loader import load_model
     from blingfire_tpu.runtime import metrics
+    from blingfire_tpu.runtime.host import SpTokenizer
+
+    model = load_model(f"{LDB}/{name}.bin")
+    tok = SpTokenizer(model, max_doc_symbols=128)
+    warm = corpus_lines(64, seed=1)
+    tok.encode_corpus(warm, batch_docs=64)
+    log(f"{name}: e2e warm done")
 
     c = metrics.Counters()
     e2e_docs = corpus_lines(int(os.environ.get("BENCH_E2E_DOCS", "32768")), seed=3)
@@ -184,8 +163,8 @@ def measure_sp_e2e(name: str, tok) -> None:
     t0 = time.perf_counter()
     tok.encode_corpus(e2e_docs, batch_docs=8192, counters=c)
     dt = time.perf_counter() - t0
-    RESULT[f"{name}_e2e_bytes_per_s"] = round(e2e_bytes / dt, 1)
-    log(f"{name}: e2e {e2e_bytes / dt / 1e6:.1f} MB/s ({c.fallback_docs} fallbacks)")
+    record(f"{name}_e2e_bytes_per_s", round(e2e_bytes / dt, 1))
+    log(f"{name}: e2e {e2e_bytes / dt / 1e6:.2f} MB/s ({c.fallback_docs} fallbacks)")
 
 
 def measure_wordpiece(batch: int = int(os.environ.get("BENCH_LEX_BATCH", "4096"))):
@@ -195,15 +174,14 @@ def measure_wordpiece(batch: int = int(os.environ.get("BENCH_LEX_BATCH", "4096")
 
     model = load_model(f"{LDB}/bert_base_cased_tok.bin")
     wp = WordPieceTpu(model)
-    docs = corpus_lines(256, seed=4)
-    wp.text_to_ids_batch(docs)  # compile + warm
+    wp.text_to_ids_batch(corpus_lines(256, seed=4))  # compile + warm
     log("bert: warm done")
     docs = corpus_lines(batch, seed=5)
     nbytes = sum(len(d) for d in docs)
     t0 = time.perf_counter()
-    wp.text_to_ids_batch(docs)
+    wp.text_to_ids_batch(docs)  # returns host lists: read-complete by design
     dt = time.perf_counter() - t0
-    RESULT["bert_bytes_per_s"] = round(nbytes / dt, 1)
+    record("bert_bytes_per_s", round(nbytes / dt, 1))
     log(f"bert: {nbytes / dt / 1e6:.2f} MB/s")
 
 
@@ -221,7 +199,7 @@ def measure_words(batch: int = int(os.environ.get("BENCH_LEX_BATCH", "4096"))):
     t0 = time.perf_counter()
     w.text_to_words_batch(docs)
     dt = time.perf_counter() - t0
-    RESULT["wbd_bytes_per_s"] = round(nbytes / dt, 1)
+    record("wbd_bytes_per_s", round(nbytes / dt, 1))
     log(f"wbd: {nbytes / dt / 1e6:.2f} MB/s")
 
 
@@ -248,56 +226,88 @@ def measure_hyph(n_words: int = int(os.environ.get("BENCH_HYPH_WORDS", "20000"))
     t0 = time.perf_counter()
     hy.process_batch(words)
     dt = time.perf_counter() - t0
-    RESULT["syllab_bytes_per_s"] = round(nbytes / dt, 1)
+    record("syllab_bytes_per_s", round(nbytes / dt, 1))
     log(f"syllab: {nbytes / dt / 1e6:.2f} MB/s over {len(words)} words")
 
 
-def main() -> None:
-    watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "450")))
+STEPS = {
+    "gpt2": lambda: measure_sp("gpt2"),
+    "xlnet": lambda: measure_sp("xlnet"),
+    "bert": measure_wordpiece,
+    "wbd": measure_words,
+    "syllab": measure_hyph,
+    "gpt2_e2e": lambda: measure_sp_e2e("gpt2"),
+    "xlnet_e2e": lambda: measure_sp_e2e("xlnet"),
+}
 
+# per-step wall budgets (s): compile can be slow cold; the disk compilation
+# cache makes warm reruns much cheaper
+STEP_TIMEOUT = {
+    "gpt2": 420.0,
+    "xlnet": 420.0,
+    "bert": 300.0,
+    "wbd": 300.0,
+    "syllab": 240.0,
+    "gpt2_e2e": 300.0,
+    "xlnet_e2e": 300.0,
+}
+
+
+def child_main(step: str) -> None:
     import jax
 
-    log(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    log(f"[{step}] backend: {jax.default_backend()}  devices: {jax.devices()}")
+    STEPS[step]()
 
-    toks: dict = {}
 
-    def sp_rate(name):
-        def run():
-            toks[name] = measure_sp(name)
-        return run
-
-    def sp_e2e(name):
-        def run():
-            if name in toks:
-                measure_sp_e2e(name, toks[name])
-        return run
-
-    # d2h-free kernel rates first; everything needing device->host reads
-    # (which can wedge the tunnel) runs after the headline numbers are safe
-    steps = [
-        ("gpt2 (primary)", sp_rate("gpt2")),
-        ("xlnet", sp_rate("xlnet")),
-        ("bert wordpiece", measure_wordpiece),
-        ("wbd words", measure_words),
-        ("syllab w2h", measure_hyph),
-        ("gpt2 e2e", sp_e2e("gpt2")),
-        ("xlnet e2e", sp_e2e("xlnet")),
-    ]
-    for label, fn in steps:
+def parent_main() -> None:
+    order = os.environ.get(
+        "BENCH_STEPS", "gpt2,xlnet,bert,wbd,syllab,gpt2_e2e,xlnet_e2e"
+    ).split(",")
+    for step in order:
+        step = step.strip()
+        if step not in STEPS:
+            continue
+        budget = float(os.environ.get("BENCH_STEP_TIMEOUT_S", "0")) or STEP_TIMEOUT[step]
+        log(f"=== {step} (budget {budget:.0f}s) ===")
+        t0 = time.time()
         try:
-            log(f"=== {label} ===")
-            fn()
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--step", step],
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                text=True,
+                cwd=ROOT,
+            )
+            try:
+                out, _ = proc.communicate(timeout=budget)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                out, _ = proc.communicate(timeout=30)
+                RESULT[f"{step}_timeout"] = True
+                log(f"{step}: TIMED OUT after {budget:.0f}s (partial results kept)")
+            for line in (out or "").splitlines():
+                if line.startswith("RESULT-JSON: "):
+                    RESULT.update(json.loads(line[len("RESULT-JSON: "):]))
+            if proc.returncode not in (0, None) and f"{step}_timeout" not in RESULT:
+                RESULT[f"error_{step}"] = f"exit={proc.returncode}"
         except Exception:
-            log(f"{label} FAILED:\n{traceback.format_exc()}")
-            RESULT[f"error_{label.split()[0]}"] = traceback.format_exc(limit=1).strip()[-200:]
+            log(f"{step} FAILED:\n{traceback.format_exc()}")
+            RESULT[f"error_{step}"] = traceback.format_exc(limit=1).strip()[-200:]
+        log(f"{step}: done in {time.time() - t0:.0f}s")
 
-    emit_and_exit(0)
+    bps = float(RESULT.get("gpt2_bytes_per_s", 0.0))
+    RESULT["value"] = round(bps, 1)
+    RESULT["vs_baseline"] = round(bps / BASELINE_BYTES_PER_S, 2)
+    print(json.dumps(RESULT), flush=True)
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception:
-        log(traceback.format_exc())
-        RESULT["metric"] = "gpt2_byte_bpe_tokenization (error)"
-        emit_and_exit(1)
+    if "--step" in sys.argv:
+        try:
+            child_main(sys.argv[sys.argv.index("--step") + 1])
+            sys.exit(0)
+        except Exception:
+            log(traceback.format_exc())
+            sys.exit(1)
+    parent_main()

@@ -21,9 +21,38 @@ _REF = "/root/reference"
 _lib_cache = None
 
 
+_SRC_IO = os.path.join(_DIR, "shim_io.cpp")
+
+# compile-library sources the IO shim needs (disjoint from the client
+# library's own FAAllocator/FAException/FAMsg/FAUtils_cl, which are already
+# linked in)
+_COMPILE_SRCS = [
+    "FAParseTree.cpp",
+    "FAAutIOTools.cpp",
+    "FAMapIOTools.cpp",
+    "FARSDfa_wo_ro.cpp",
+    "FARSNfa_wo_ro.cpp",
+    "FAMealyDfa.cpp",
+    "FAMealyNfa.cpp",
+    "FAState2Ow.cpp",
+    "FAState2Ows.cpp",
+    "FAMultiMap_ar.cpp",
+    "FAChain2Num_hash.cpp",
+    "FAStringTokenizer.cpp",
+    "FAUtils.cpp",
+    "FAEncoder_pref.cpp",
+    "FARSDfa_ro.cpp",
+    "FAMultiMap_judy.cpp",
+    "FAMap_std.cpp",
+    "FANfaDelta_wo_ro.cpp",
+    "FANfaDelta_ro.cpp",
+]
+
+
 def build() -> str:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    newest_src = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_IO))
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest_src:
         import glob
 
         srcs = sorted(glob.glob(f"{_REF}/blingfireclient.library/src/*.cpp"))
@@ -33,8 +62,9 @@ def build() -> str:
             f"-I{_REF}/blingfireclient.library/inc",
             f"-I{_REF}/blingfirecompile.library/inc",
             _SRC,
+            _SRC_IO,
             *srcs,
-            f"{_REF}/blingfirecompile.library/src/FAParseTree.cpp",
+            *[f"{_REF}/blingfirecompile.library/src/{s}" for s in _COMPILE_SRCS],
             "-o", _SO,
         ]
         subprocess.run(cmd, check=True, capture_output=True)
@@ -95,8 +125,43 @@ def lib() -> ctypes.CDLL:
         so.Shim_Transform.argtypes = [ctypes.c_int, ctypes.c_int,
                                       ctypes.c_char_p, c_ip, ctypes.c_int,
                                       c_ip, ctypes.c_int]
+        so.Shim_AutTxtRoundTrip.restype = ctypes.c_int
+        so.Shim_AutTxtRoundTrip.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int,
+        ]
+        so.Shim_MapTxtRoundTrip.restype = ctypes.c_int
+        so.Shim_MapTxtRoundTrip.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int,
+        ]
         _lib_cache = so
     return _lib_cache
+
+
+AUT_KIND = {"rs-dfa": 1, "mealy-dfa": 2, "moore-dfa": 3, "moore-mdfa": 4,
+            "rs-nfa": 5, "mealy-nfa": 6}
+MAP_KIND = {"mmap": 1, "chain2num": 2, "arr": 3}
+
+
+def aut_roundtrip(kind: str, text: str) -> str:
+    """Feed textual FSM to the reference reader, return the reference
+    printer's output (raises on parse failure)."""
+    data = text.encode()
+    buf = ctypes.create_string_buffer(max(4 * len(data) + 1024, 1 << 16))
+    n = lib().Shim_AutTxtRoundTrip(AUT_KIND[kind], data, len(data), buf, len(buf))
+    if n < 0:
+        raise ValueError(f"reference FAAutIOTools rejected the text ({n})")
+    return buf.raw[:n].decode()
+
+
+def map_roundtrip(kind: str, text: str) -> str:
+    data = text.encode()
+    buf = ctypes.create_string_buffer(max(4 * len(data) + 1024, 1 << 16))
+    n = lib().Shim_MapTxtRoundTrip(MAP_KIND[kind], data, len(data), buf, len(buf))
+    if n < 0:
+        raise ValueError(f"reference FAMapIOTools rejected the text ({n})")
+    return buf.raw[:n].decode()
 
 
 def _arr(seq) -> np.ndarray:
