@@ -235,6 +235,50 @@ class SpTokenizer:
         self._oracle = SpTokenizerOracle(seg)
         self._sym2iw = self.comb.sym2iw
         self._chunk_safe = self._compute_chunk_safe()
+        # unique-word-unit device path (runtime/dedup.py): exact whenever
+        # chunking is (same vocabulary property), and 5-10x cheaper on
+        # realistic text; callers may force it off per call
+        self.dedup_units = self._chunk_safe
+        self._units = None
+
+    def _unit_runner(self):
+        if self._units is None:
+            from .dedup import UnitRunner
+
+            self._units = UnitRunner(self)
+        return self._units
+
+    def _classic_rows(self, x, spm, lengths, idxs, unk_id: int):
+        """Classic doc-row device pass over a subset of prepped rows (docs
+        the unit path declined).  Returns ({row -> ids list}, dev_fb)."""
+        import jax.numpy as jnp
+
+        Bp = _round_up_pow2(len(idxs))
+        xs = np.full((Bp, x.shape[1]), -1, np.int32)
+        ss = np.zeros((Bp, x.shape[1]), bool)
+        ls = np.zeros(Bp, np.int32)
+        xs[: len(idxs)] = x[idxs]
+        ss[: len(idxs)] = spm[idxs]
+        ls[: len(idxs)] = lengths[idxs]
+        if self.is_bpe:
+            ids, _st, _en, counts, dev_fb = bpe_ops.bpe_segment(
+                self.tables, jnp.asarray(xs), jnp.asarray(ss),
+                jnp.asarray(ls), jnp.int32(unk_id), self.a_max,
+            )
+            dev_fb = np.asarray(dev_fb)
+        else:
+            from ..ops import unigram as uni_ops
+
+            ids, _st, _en, counts = uni_ops.unigram_segment(
+                self.tables, jnp.asarray(xs), jnp.asarray(ls), jnp.int32(unk_id)
+            )
+            dev_fb = np.zeros(Bp, bool)
+        ids = np.asarray(ids)
+        counts = np.asarray(counts)
+        return (
+            {i: ids[k, : counts[k]].tolist() for k, i in enumerate(idxs)},
+            {i: bool(dev_fb[k]) for k, i in enumerate(idxs)},
+        )
 
     def _compute_chunk_safe(self) -> bool:
         """True when documents may be split at ▁ boundaries without changing
@@ -393,31 +437,30 @@ class SpTokenizer:
         return x, spm, lengths, offs, fallback
 
     def encode_batch(
-        self, docs: list[bytes | str], unk_id: int = 0
+        self, docs: list[bytes | str], unk_id: int = 0, dedup: bool | None = None
     ) -> list[list[int]]:
         docs_b = [d.encode("utf-8") if isinstance(d, str) else d for d in docs]
         x, spm, lengths, _offs, pre_fb = self._prep_batch(docs_b)
-        import jax.numpy as jnp
+        x, spm, lengths = np.asarray(x), np.asarray(spm), np.asarray(lengths)
+        use_units = self.dedup_units if dedup is None else (dedup and self._chunk_safe)
 
-        if self.is_bpe:
-            ids, _starts, _ends, counts, dev_fb = bpe_ops.bpe_segment(
-                self.tables,
-                jnp.asarray(x),
-                jnp.asarray(spm),
-                jnp.asarray(lengths),
-                jnp.int32(unk_id),
-                self.a_max,
-            )
-            dev_fb = np.asarray(dev_fb)
+        if use_units:
+            uout, need = self._unit_runner().encode(x, spm, lengths, unk_id)
+            classic_idx = [
+                i for i in range(len(docs_b))
+                if need[i] and not pre_fb[i] and lengths[i] > 0
+            ]
         else:
-            from ..ops import unigram as uni_ops
+            uout, need = [None] * len(docs_b), np.ones(len(docs_b), bool)
+            classic_idx = [
+                i for i in range(len(docs_b)) if not pre_fb[i] and lengths[i] > 0
+            ]
+        cls_ids, cls_fb = (
+            self._classic_rows(x, spm, lengths, classic_idx, unk_id)
+            if classic_idx
+            else ({}, {})
+        )
 
-            ids, _starts, _ends, counts = uni_ops.unigram_segment(
-                self.tables, jnp.asarray(x), jnp.asarray(lengths), jnp.int32(unk_id)
-            )
-            dev_fb = np.zeros(len(docs_b), bool)
-        ids = np.asarray(ids)
-        counts = np.asarray(counts)
         # long docs: whitespace-safe chunked device pass (host oracle only
         # when that too declines)
         over_idx = [i for i in range(len(docs_b)) if pre_fb[i]]
@@ -435,13 +478,15 @@ class SpTokenizer:
                     got if got is not None
                     else self._oracle.text_to_ids(d, unk_id=unk_id)
                 )
-            elif dev_fb[i]:
-                out.append(self._oracle.text_to_ids(d, unk_id=unk_id))
             elif lengths[i] == 0:
                 # invalid UTF-8 / empty input: the reference returns 0 ids
                 out.append([] if not d else self._oracle.text_to_ids(d, unk_id=unk_id))
+            elif not need[i]:
+                out.append(uout[i])
+            elif i in cls_ids and not cls_fb[i]:
+                out.append(cls_ids[i])
             else:
-                out.append(ids[i, : counts[i]].tolist())
+                out.append(self._oracle.text_to_ids(d, unk_id=unk_id))
         return out
 
 
@@ -466,18 +511,31 @@ class SpTokenizer:
 
         inflight = []
 
-        def collect(entry):
-            idxs, docs_chunk, pre_fb, handles = entry
-            with metrics.stage("collect", c):
-                if self.is_bpe:
-                    ids, counts, dev_fb = (
-                        np.asarray(handles[0]),
-                        np.asarray(handles[3]),
-                        np.asarray(handles[4]),
-                    )
+        use_units = self.dedup_units
+
+        def finish_doc(k, i, d, pre_fb, row, fb, over_map):
+            if pre_fb[k]:
+                got = over_map.get(k)
+                if got is not None:
+                    c.chunked_docs += 1
+                    out[i] = got
+                    c.tokens_out += len(got)
                 else:
-                    ids, counts = np.asarray(handles[0]), np.asarray(handles[3])
-                    dev_fb = np.zeros(len(idxs), bool)
+                    c.fallback_docs += 1
+                    out[i] = self._oracle.text_to_ids(d, unk_id=unk_id)
+            elif fb:
+                c.fallback_docs += 1
+                out[i] = self._oracle.text_to_ids(d, unk_id=unk_id)
+            elif len(d) == 0:
+                c.invalid_docs += 1
+                out[i] = []
+            else:
+                out[i] = row
+                c.tokens_out += len(row)
+
+        def collect(entry):
+            idxs, docs_chunk, pre_fb, prepped, handles = entry
+            with metrics.stage("collect", c):
                 over_idx = [k for k in range(len(idxs)) if pre_fb[k]]
                 chunked = (
                     self._encode_overflow(
@@ -487,27 +545,45 @@ class SpTokenizer:
                     else []
                 )
                 over_map = dict(zip(over_idx, chunked))
-                for k, i in enumerate(idxs):
-                    d = docs_chunk[k]
-                    if pre_fb[k]:
-                        got = over_map.get(k)
-                        if got is not None:
-                            c.chunked_docs += 1
-                            out[i] = got
-                            c.tokens_out += len(got)
+                if use_units:
+                    uout, need = self._unit_runner().collect(handles)
+                    x, spm, lengths = prepped
+                    classic_idx = [
+                        k for k in range(len(idxs))
+                        if need[k] and not pre_fb[k] and lengths[k] > 0
+                    ]
+                    cls_ids, cls_fb = (
+                        self._classic_rows(x, spm, lengths, classic_idx, unk_id)
+                        if classic_idx
+                        else ({}, {})
+                    )
+                    for k, i in enumerate(idxs):
+                        d = docs_chunk[k]
+                        if len(d) == 0 and not pre_fb[k]:
+                            finish_doc(k, i, d, pre_fb, None, False, over_map)
+                        elif not pre_fb[k] and not need[k]:
+                            finish_doc(k, i, d, pre_fb, uout[k], False, over_map)
+                        elif k in cls_ids:
+                            finish_doc(
+                                k, i, d, pre_fb, cls_ids[k], cls_fb[k], over_map
+                            )
                         else:
-                            c.fallback_docs += 1
-                            out[i] = self._oracle.text_to_ids(d, unk_id=unk_id)
-                    elif dev_fb[k]:
-                        c.fallback_docs += 1
-                        out[i] = self._oracle.text_to_ids(d, unk_id=unk_id)
-                    elif len(d) == 0:
-                        c.invalid_docs += 1
-                        out[i] = []
+                            finish_doc(k, i, d, pre_fb, None, True, over_map)
+                else:
+                    if self.is_bpe:
+                        ids, counts, dev_fb = (
+                            np.asarray(handles[0]),
+                            np.asarray(handles[3]),
+                            np.asarray(handles[4]),
+                        )
                     else:
-                        row = ids[k, : counts[k]].tolist()
-                        out[i] = row
-                        c.tokens_out += len(row)
+                        ids, counts = np.asarray(handles[0]), np.asarray(handles[3])
+                        dev_fb = np.zeros(len(idxs), bool)
+                    for k, i in enumerate(idxs):
+                        finish_doc(
+                            k, i, docs_chunk[k], pre_fb,
+                            ids[k, : counts[k]].tolist(), dev_fb[k], over_map,
+                        )
 
         for start in range(0, len(docs_b), batch_docs):
             chunk = docs_b[start : start + batch_docs]
@@ -516,8 +592,11 @@ class SpTokenizer:
                 chunk = chunk + [b""] * (batch_docs - len(chunk))
             with metrics.stage("prep", c):
                 x, spm, lengths, _offs, pre_fb = self._prep_batch(chunk)
+                x, spm, lengths = np.asarray(x), np.asarray(spm), np.asarray(lengths)
             with metrics.stage("dispatch", c):
-                if self.is_bpe:
+                if use_units:
+                    handles = self._unit_runner().dispatch(x, spm, lengths, unk_id)
+                elif self.is_bpe:
                     handles = bpe_ops.bpe_segment(
                         self.tables,
                         jnp.asarray(x),
@@ -538,7 +617,7 @@ class SpTokenizer:
             c.bytes_in += sum(len(d) for d in chunk)
             c.docs_in += len(chunk)
             c.batches += 1
-            inflight.append((idxs, chunk, pre_fb, handles))
+            inflight.append((idxs, chunk, pre_fb, (x, spm, lengths), handles))
             if len(inflight) > 2:  # keep a small pipeline
                 collect(inflight.pop(0))
         while inflight:
