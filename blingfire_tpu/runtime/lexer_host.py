@@ -13,7 +13,7 @@ batched equivalents of blingfiretokdll.cpp:163-582 and :1097-1314.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import functools
 
 import numpy as np
 
@@ -25,14 +25,20 @@ from .lexer import LexerEngine, LexerOracleApi, _cps_to_utf8, _first_non_ws
 from .host import decode_utf8
 
 
-@dataclass
-class _Row:
-    doc: int  # document index
-    seq: np.ndarray  # guarded dense-iw symbols of the span
-    raw: np.ndarray  # raw codepoints of the span (for scalar fallback)
-    init: int  # initial state
-    offset: int  # span start in document coordinates
-    depth: int
+@functools.cache
+def _pack5():
+    """jit that fuses lexer_pass's five outputs into one int32 array so each
+    dispatch costs a single d2h (the tunnel charges ~25-45 ms per read)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pack(vis, tag, f2, t2, fn):
+        return jnp.concatenate(
+            [vis.astype(jnp.int32), tag, f2, t2, fn], axis=1
+        )
+
+    return pack
 
 
 class LexerTpu:
@@ -60,6 +66,8 @@ class LexerTpu:
         self._n_iws = self.comb.n_iws
         self._lanchor = self._map_raw(np.array([Iw.L_ANCHOR], np.int32))[0]
         self._ranchor = self._map_raw(np.array([Iw.R_ANCHOR], np.int32))[0]
+        # span-content -> assembled triple list (see process_docs docstring)
+        self._flat_cache: dict = {}
 
     def _map_raw(self, raw: np.ndarray) -> np.ndarray:
         """original iw -> dense internal iw; missing -> n_iws sentinel (still
@@ -80,127 +88,149 @@ class LexerTpu:
 
     # -- batched multi-level processing ------------------------------------
 
+    # rows per dispatch for each bucket width: FIXED shapes so the jit cache
+    # holds exactly len(buckets) programs (pow2-rounded row counts churned
+    # dozens of recompiles per corpus before)
+    BUCKET_ROWS = {32: 2048, 128: 512, 512: 64}
+
     def process_docs(self, docs_cps: list[np.ndarray]) -> list[list[int]]:
         """Run the full grammar over documents (utf32 codepoint arrays).
-        Returns the reference-ordered (tag, from, to) triple list per doc."""
+        Returns the reference-ordered (tag, from, to) triple list per doc.
+
+        Spans are MEMOIZED on (initial state, remaining depth budget, symbol
+        content): a span's matches — and its fully assembled depth-first
+        triple list — are content functions, so each distinct document and
+        each distinct _call sub-span (typically a word: Zipf-repeated) hits
+        the device exactly once per cache lifetime."""
         import jax.numpy as jnp
 
-        rows = [
-            _Row(
-                i,
-                self.encode_chars(np.asarray(c, np.int32)),
-                np.asarray(c, np.int32),
-                0,
-                0,
-                1,
-            )
-            for i, c in enumerate(docs_cps)
-        ]
-        # match-tree nodes: (tag, from, to, children); tag 0 nodes are
-        # placeholders that keep nested-function emission order
-        trees: list[list] = [[] for _ in docs_cps]
-        row_sink: list[list] = [trees[r.doc] for r in rows]
+        cache = self._flat_cache
+        if len(cache) > 300_000:
+            cache.clear()
+        md = self.max_depth
 
-        depth = 1
-        while rows and depth <= self.max_depth:
-            next_rows: list[_Row] = []
-            next_sinks: list[list] = []
+        def key_of(init: int, rem: int, seq: np.ndarray):
+            return (init, rem, seq.tobytes())
+
+        # spans whose matches were computed this call, in discovery order
+        # (children are discovered after their parent, so reversed order
+        # assembles bottom-up); value: (tags, los, his, child_keys)
+        span_order: list = []
+        matches: dict = {}
+        queued: set = set()
+
+        doc_keys = []
+        level: list[tuple] = []  # (key, seq, raw, init, rem)
+        for c in docs_cps:
+            cps = np.asarray(c, np.int32)
+            seq = self.encode_chars(cps)
+            k = key_of(0, md - 1, seq)
+            doc_keys.append(k)
+            if k not in cache and k not in queued:
+                queued.add(k)
+                level.append((k, seq, cps, 0, md - 1))
+
+        while level:
+            nxt: list[tuple] = []
             groups: dict[int, list[int]] = {}
-            for ri in range(len(rows)):
-                n = len(rows[ri].seq)
-                bucket = next((b for b in self.buckets if n <= b), -1)
-                groups.setdefault(bucket, []).append(ri)
+            for si, (_k, seq, _raw, _init, _rem) in enumerate(level):
+                bucket = next((b for b in self.buckets if len(seq) <= b), -1)
+                groups.setdefault(bucket, []).append(si)
 
             for bucket, idxs in sorted(groups.items()):
-                if bucket == -1:
-                    for ri in idxs:
-                        self._scalar_row(rows[ri], row_sink[ri])
+                if bucket == -1:  # oversize: scalar engine, memoized too
+                    for si in idxs:
+                        k, seq, raw, init, rem = level[si]
+                        cache[k] = self._scalar_flat(raw, init, md - rem)
                     continue
                 M = bucket + 2
-                B = _round_up(len(idxs))
-                x = np.full((B, M), -1, np.int32)
-                init = np.zeros(B, np.int32)
-                elen = np.full(B, 2, np.int32)
-                for k, ri in enumerate(idxs):
-                    r = rows[ri]
-                    n = len(r.seq)
-                    x[k, 0] = self._lanchor
-                    x[k, 1 : n + 1] = r.seq
-                    x[k, n + 1] = self._ranchor
-                    init[k] = r.init
-                    elen[k] = n + 2
-                vis, tag, f2, t2, fn = lexer_ops.lexer_pass(
-                    self.tables, jnp.asarray(x), jnp.asarray(init), jnp.asarray(elen)
-                )
-                vis = np.asarray(vis)
-                tag = np.asarray(tag)
-                f2 = np.asarray(f2)
-                t2 = np.asarray(t2)
-                fn = np.asarray(fn)
-                for k, ri in enumerate(idxs):
-                    r = rows[ri]
-                    sink = row_sink[ri]
-                    for q in np.flatnonzero(vis[k]):
-                        node_tag = int(tag[k, q])
-                        lo = int(f2[k, q])
-                        hi = int(t2[k, q])
-                        children: list = []
-                        sink.append((node_tag, lo + r.offset, hi + r.offset, children))
-                        fid = int(fn[k, q])
-                        if fid >= 0 and depth < self.max_depth:
-                            fini = self.engine.fn2ini[fid]
-                            next_rows.append(
-                                _Row(
-                                    r.doc,
-                                    r.seq[lo : hi + 1],
-                                    r.raw[lo : hi + 1],
-                                    fini,
-                                    r.offset + lo,
-                                    depth + 1,
-                                )
+                rows = self.BUCKET_ROWS[bucket]
+                for off in range(0, len(idxs), rows):
+                    part = idxs[off : off + rows]
+                    x = np.full((rows, M), -1, np.int32)
+                    init = np.zeros(rows, np.int32)
+                    elen = np.full(rows, 2, np.int32)
+                    for r, si in enumerate(part):
+                        seq = level[si][1]
+                        n = len(seq)
+                        x[r, 0] = self._lanchor
+                        x[r, 1 : n + 1] = seq
+                        x[r, n + 1] = self._ranchor
+                        init[r] = level[si][3]
+                        elen[r] = n + 2
+                    packed = np.asarray(
+                        _pack5()(
+                            *lexer_ops.lexer_pass(
+                                self.tables,
+                                jnp.asarray(x),
+                                jnp.asarray(init),
+                                jnp.asarray(elen),
                             )
-                            next_sinks.append(children)
-            rows = next_rows
-            row_sink = next_sinks
-            depth += 1
+                        )
+                    )
+                    vis = packed[: len(part), :M] != 0
+                    tagm = packed[: len(part), M : 2 * M]
+                    f2m = packed[: len(part), 2 * M : 3 * M]
+                    t2m = packed[: len(part), 3 * M : 4 * M]
+                    fnm = packed[: len(part), 4 * M : 5 * M]
+                    ks, qs = np.nonzero(vis)  # row-major: in-row match order
+                    bounds = np.searchsorted(ks, np.arange(len(part) + 1))
+                    for r, si in enumerate(part):
+                        k, seq, raw, _initv, rem = level[si]
+                        sel = qs[bounds[r] : bounds[r + 1]]
+                        tags = tagm[r, sel]
+                        los = f2m[r, sel]
+                        his = t2m[r, sel]
+                        fns = fnm[r, sel]
+                        child_keys: list = [None] * len(sel)
+                        if rem > 0:
+                            for j in np.flatnonzero(fns >= 0):
+                                lo, hi = int(los[j]), int(his[j])
+                                fini = self.engine.fn2ini[int(fns[j])]
+                                cseq = seq[lo : hi + 1]
+                                ck = key_of(fini, rem - 1, cseq)
+                                child_keys[j] = ck
+                                if ck not in cache and ck not in queued:
+                                    queued.add(ck)
+                                    nxt.append(
+                                        (ck, cseq, raw[lo : hi + 1], fini, rem - 1)
+                                    )
+                        matches[k] = (tags, los, his, child_keys)
+                        span_order.append(k)
+            level = nxt
 
-        out: list[list[int]] = []
-        for t in trees:
-            flat: list[int] = []
-            self._flatten(t, flat)
-            out.append(flat)
-        return out
+        # -- bottom-up assembly (children appear after parents in order) ----
+        empty = np.zeros((0, 3), np.int32)
+        for k in reversed(span_order):
+            tags, los, his, child_keys = matches[k]
+            if not any(ck is not None for ck in child_keys):
+                keep = tags != 0
+                flat = np.stack([tags[keep], los[keep], his[keep]], axis=1)
+                cache[k] = flat.astype(np.int32)
+                continue
+            parts = []
+            for j in range(len(tags)):
+                if tags[j] != 0:
+                    parts.append(
+                        np.array([[tags[j], los[j], his[j]]], np.int32)
+                    )
+                ck = child_keys[j]
+                if ck is not None:
+                    cf = cache[ck]
+                    if len(cf):
+                        parts.append(cf + np.array([0, los[j], los[j]], np.int32))
+            cache[k] = np.concatenate(parts) if parts else empty
 
-    def _flatten(self, nodes, flat):
-        for tag, f, t, children in nodes:
-            if tag != 0:
-                flat.extend((tag, f, t))
-            self._flatten(children, flat)
+        return [cache[k].ravel().tolist() for k in doc_keys]
 
-    def _scalar_row(self, row: _Row, sink) -> None:
-        """Fallback for oversized rows: scalar engine (emits flat triples
-        already in depth-first order)."""
+    def _scalar_flat(self, raw: np.ndarray, init: int, depth: int) -> np.ndarray:
+        """Fallback for oversized spans: scalar engine (emits flat triples
+        already in depth-first order, span-relative)."""
         out: list[int] = []
         self.engine._process_int(
-            row.init,
-            row.offset,
-            row.raw.tolist(),
-            0,
-            len(row.raw),
-            out,
-            1 << 30,
-            row.depth,
-            False,
+            init, 0, raw.tolist(), 0, len(raw), out, 1 << 30, depth, False
         )
-        for i in range(0, len(out), 3):
-            sink.append((out[i], out[i + 1], out[i + 2], []))
-
-
-def _round_up(n: int) -> int:
-    b = 8
-    while b < n:
-        b *= 2
-    return b
+        return np.asarray(out, np.int32).reshape(-1, 3)
 
 
 class WordsTpu:
