@@ -714,9 +714,12 @@ def bpe_segment(
 
     Deliberately NOT one jit: compiling the match-walk while_loop together
     with its slot-array consumers makes XLA pick layouts/fusions that slow
-    the whole kernel by >1000x (365 ms vs 0.15 ms per 4k-doc batch on
-    v5lite) and blow the compile time from ~15 s to ~470 s.  Two back-to-back
-    jit dispatches cost microseconds and keep both programs fast.
+    the whole kernel substantially and blow the compile time from ~15 s to
+    ~470 s on v5lite.  (An earlier claim of ">1000x" runtime difference
+    here was a measurement artifact: on the tunneled backend
+    block_until_ready can return before queued executions finish, so only
+    dispatch->host-read timings are trusted now — see bench.py.)  Two
+    back-to-back jit dispatches cost little and keep compiles sane.
     """
     count, m_pack, m_rank, slot_overflow = bpe_walk(
         tables, x_iw, is_spm, lengths

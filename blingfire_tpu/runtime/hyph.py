@@ -127,44 +127,73 @@ class HyphTpu:
         v = np.where((raw >= 0) & (raw < len(m)), m[idx], -1)
         return np.where(v < 0, self._n_iws, v).astype(np.int32)
 
+    # row count per dispatch: big batches use the fixed ROWS shape; small
+    # ones a pow2 size, so the jit cache stays bounded
+    ROWS = 4096
+
+    @staticmethod
+    def _round_pow2(n: int, lo: int = 64) -> int:
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
     def process_batch(self, words: list[list[int]], bucket: int = 32):
-        """Per-position ops for a batch of words (codepoint lists)."""
+        """Per-position ops for a batch of words (codepoint lists).
+
+        Hyphenation is a pure per-word content function, so words are
+        DEDUPED first (Zipf: a realistic corpus repeats most words) and
+        each distinct word hits the device once."""
         import jax.numpy as jnp
         import numpy as np
 
         from ..ops import hyph as hyph_ops
 
         out: list[list[int] | None] = [None] * len(words)
-        todo = []
-        for i, w in enumerate(words):
+        uniq: dict[tuple, int] = {}
+        inst: list[int] = []  # word idx -> unique idx (-1 oversize)
+        for w in words:
             if len(w) > MAX_WORD_SIZE:
-                continue  # caller falls back / errors like the reference
-            todo.append(i)
-        if not todo:
+                inst.append(-1)  # caller falls back / errors like the reference
+                continue
+            key = tuple(w)
+            u = uniq.setdefault(key, len(uniq))
+            inst.append(u)
+        if not uniq:
             return out
-        W = max(bucket, max(len(words[i]) for i in todo))
+        uwords = [list(k) for k in uniq]
+        W = bucket
+        while W < max(len(w) for w in uwords):
+            W *= 2
         eng = self.engine
         cm = self.model.charmap
-        B = len(todo)
-        x = np.full((B, W + 2), -1, np.int32)
-        wl = np.zeros(B, np.int32)
-        for k, i in enumerate(todo):
-            w = list(words[i])
-            if eng.ignore_case:
-                from .casefold import to_lower
+        U = len(uwords)
+        results: list[list[int]] = [None] * U  # type: ignore
+        for lo in range(0, U, self.ROWS):
+            part = uwords[lo : lo + self.ROWS]
+            B = self.ROWS if U > self.ROWS else self._round_pow2(len(part))
+            x = np.full((B, W + 2), -1, np.int32)
+            wl = np.zeros(B, np.int32)
+            for k, w in enumerate(part):
+                if eng.ignore_case:
+                    from .casefold import to_lower
 
-                w = [to_lower(c) for c in w]
-            if cm is not None:
-                for j, c in enumerate(w):
-                    v = cm.get(c)
-                    if v is not None and len(v) == 1:
-                        w[j] = int(v[0])
-            seq = [eng.left_anchor] + w + [eng.right_anchor]
-            x[k, : len(seq)] = self._map_raw(np.asarray(seq, np.int32))
-            wl[k] = len(w)
-        res = np.asarray(
-            hyph_ops.hyph_segment(self.tables, jnp.asarray(x), jnp.asarray(wl))
-        )
-        for k, i in enumerate(todo):
-            out[i] = res[k, : wl[k]].tolist()
+                    w = [to_lower(c) for c in w]
+                if cm is not None:
+                    w = list(w)
+                    for j, c in enumerate(w):
+                        v = cm.get(c)
+                        if v is not None and len(v) == 1:
+                            w[j] = int(v[0])
+                seq = [eng.left_anchor] + list(w) + [eng.right_anchor]
+                x[k, : len(seq)] = self._map_raw(np.asarray(seq, np.int32))
+                wl[k] = len(w)
+            res = np.asarray(
+                hyph_ops.hyph_segment(self.tables, jnp.asarray(x), jnp.asarray(wl))
+            )
+            for k in range(len(part)):
+                results[lo + k] = res[k, : wl[k]].tolist()
+        for i, u in enumerate(inst):
+            if u >= 0:
+                out[i] = results[u]
         return out
