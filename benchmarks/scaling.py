@@ -75,9 +75,13 @@ def main():
             docs = corpus_lines(args.batch * n, seed=11)
             runner = ShardedBpeRunner(tok, mesh=data_parallel_mesh(n))
             runner.run(docs[: runner.n_dp * 8])  # warmup/compile
+            import numpy as _np
+
             t0 = time.perf_counter()
             ids, counts, stats = runner.run(docs)
-            jax.block_until_ready(ids)
+            # host READ, not block_until_ready: on the tunneled TPU backend
+            # block_until_ready can return before queued executions finish
+            _ = int(_np.asarray(counts)[0])
             dt = time.perf_counter() - t0
             total_bytes = sum(len(d) for d in docs)
             results[n] = total_bytes / dt
@@ -105,13 +109,15 @@ def main():
             docs = corpus_lines(b, seed=12)
             runner = ShardedBpeRunner(tok, mesh=data_parallel_mesh(1))
             runner.run(docs[:64])
+            import numpy as _np
+
             ids, counts, stats = runner.run(docs)  # compile big shape
-            jax.block_until_ready(ids)
+            _ = int(_np.asarray(counts)[0])
             iters = 4
             t0 = time.perf_counter()
             for _ in range(iters):
                 ids, counts, stats = runner.run(docs)
-            jax.block_until_ready(ids)
+                _ = int(_np.asarray(counts)[0])  # read: see --cpu note
             dt = (time.perf_counter() - t0) / iters
             total_bytes = sum(len(d) for d in docs)
             sweep[b] = total_bytes / dt

@@ -56,7 +56,7 @@ class ShardedBpeRunner:
 
         # Two separate jit programs, like ops/bpe.bpe_segment: compiling the
         # match-walk while_loop together with its consumers makes XLA pick
-        # pathological layouts (>1000x slower).  Data-parallel shardings
+        # pathological layouts and ~30x compile times.  Data-parallel shardings
         # propagate from the inputs through both programs (GSPMD), so the
         # walk outputs stay on their shards with no resharding in between.
         walk = jax.jit(lambda x, s, l: bpe_ops._walk_impl(tables, x, s, l))
