@@ -95,7 +95,7 @@ def measure_sp(name: str, n_sym: int = 128,
     tok = SpTokenizer(model, max_doc_symbols=n_sym)
     runner = tok._unit_runner()
     unk = jnp.int32(0)
-    derive_spm, _pack_out = _helpers()
+    derive_spm, *_pack = _helpers()
 
     def dispatch(xj, lj):
         if tok.is_bpe:

@@ -39,6 +39,23 @@ def get_lib():
         lib = ctypes.cdll.LoadLibrary(_SO)
         lib.btl_prep_sp_batch.restype = ctypes.c_int
         lib.btl_version.restype = ctypes.c_int
+        lib.btl_units_analyze.restype = ctypes.c_void_p
+        lib.btl_units_analyze.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.btl_units_emit.restype = None
+        lib.btl_units_emit.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_void_p, ctypes.c_void_p]
+        lib.btl_units_stitch.restype = ctypes.c_int64
+        lib.btl_units_stitch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.btl_units_free.restype = None
+        lib.btl_units_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     return _lib
 
@@ -108,6 +125,119 @@ def prep_sp_batch(
     )
     assert rc == 0
     return x, spm.astype(bool), lengths, sym_off, status
+
+
+class NativeUnits:
+    """One batch's unique-unit decomposition held in native state.
+
+    Produced by :func:`units_analyze`; ``px``/``plen``/``status`` are the
+    device inputs, :meth:`stitch` consumes the device's packed output rows
+    and returns (flat_ids, bounds, need_fb).  The native state is freed by
+    stitch (or by GC)."""
+
+    def __init__(self, handle, n_docs: int, n_sym: int, counts):
+        self._handle = handle
+        self.n_docs = n_docs
+        self.n_sym = n_sym
+        self.n_units = int(counts[0])
+        self.n_instances = int(counts[1])
+        self.n_rows = int(counts[2])
+        self.total_syms = int(counts[3])
+        lib = get_lib()
+        self.px = np.empty((max(self.n_rows, 1), n_sym), np.int32)
+        self.plen = np.zeros(max(self.n_rows, 1), np.int32)
+        self.status = np.empty(n_docs, np.uint8)
+        lib.btl_units_emit(
+            handle,
+            self.px.ctypes.data_as(ctypes.c_void_p),
+            self.plen.ctypes.data_as(ctypes.c_void_p),
+            self.status.ctypes.data_as(ctypes.c_void_p),
+        )
+
+    def stitch(self, rows: np.ndarray, shift: int):
+        """rows: (rows_n, n_sym+2) int32 packed device output (rows_n >= n_rows).
+        Returns (ids int32 (T,), bounds int64 (n_docs+1,), need_fb bool (n_docs,))."""
+        assert self._handle is not None, "stitch called twice"
+        assert rows.dtype == np.int32 and rows.shape[1] == self.n_sym + 2
+        rows = np.ascontiguousarray(rows)
+        lib = get_lib()
+        cap = self.total_syms + 16
+        out_ids = np.empty(cap, np.int32)
+        bounds = np.empty(self.n_docs + 1, np.int64)
+        need = np.empty(self.n_docs, np.uint8)
+        t = lib.btl_units_stitch(
+            self._handle,
+            rows.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(rows.shape[0]),
+            ctypes.c_int(shift),
+            out_ids.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(cap),
+            bounds.ctypes.data_as(ctypes.c_void_p),
+            need.ctypes.data_as(ctypes.c_void_p),
+        )
+        self.close()
+        assert t >= 0, "stitch capacity exceeded (total_syms bound violated)"
+        return out_ids[:t], bounds, need.astype(bool)
+
+    def close(self):
+        if self._handle is not None:
+            get_lib().btl_units_free(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def units_analyze(
+    docs: list[bytes],
+    n_sym: int,
+    sym2iw: np.ndarray,
+    spm_iw: int,
+    use_raw_bytes: bool,
+    no_dummy_prefix: bool,
+    charmap=None,
+) -> NativeUnits:
+    """Full native prep -> unit split -> dedup -> dense packing for a batch."""
+    lib = get_lib()
+    assert lib is not None
+    B = len(docs)
+    blob = b"".join(docs)
+    doc_off = np.zeros(B + 1, np.int64)
+    np.cumsum([len(d) for d in docs], out=doc_off[1:])
+    sym2iw = np.ascontiguousarray(sym2iw, np.int32)
+    if charmap is not None:
+        cm_counts = np.ascontiguousarray(charmap.counts, np.int32)
+        cm_values = np.ascontiguousarray(charmap.values, np.int32)
+        cm_width = charmap.values.shape[1]
+        cm_min, cm_max = charmap.min_key, charmap.max_key
+        cc = cm_counts.ctypes.data_as(ctypes.c_void_p)
+        cv = cm_values.ctypes.data_as(ctypes.c_void_p)
+    else:
+        cc = cv = None
+        cm_width = cm_min = cm_max = 0
+    counts = np.zeros(4, np.int64)
+    handle = lib.btl_units_analyze(
+        ctypes.c_char_p(blob),
+        doc_off.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(B),
+        ctypes.c_int(1 if use_raw_bytes else 0),
+        ctypes.c_int(1 if no_dummy_prefix else 0),
+        cc,
+        cv,
+        ctypes.c_int(cm_width),
+        ctypes.c_int(cm_min),
+        ctypes.c_int(cm_max),
+        sym2iw.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(sym2iw)),
+        ctypes.c_int(int(spm_iw)),
+        ctypes.c_int(n_sym),
+        counts.ctypes.data_as(ctypes.c_void_p),
+    )
+    assert handle, "btl_units_analyze failed"
+    return NativeUnits(handle, B, n_sym, counts)
 
 
 # -- full native host runtime (libbtf_runtime.so, reference-compatible C ABI) --

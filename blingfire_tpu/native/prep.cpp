@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -73,6 +74,86 @@ static int decode_utf8(const uint8_t* s, int n, int32_t* out, int32_t* offs,
 //  status      uint8[n_docs]: 0 ok, 1 invalid-input, 2 overflow(fallback)
 //
 // scratch workspace is allocated internally per call (thread-local reuse).
+// Shared per-doc prelude: decode -> dummy prefix -> charmap -> ws squeeze.
+// Writes raw (pre-remap) symbols into *pcur / offsets into *pcuro (pointers
+// into the caller's buf/nbuf scratch, capacity >= 10*n+16 each).  Returns the
+// symbol count k, or -1 for invalid input (status 1).
+static int prep_doc_syms(const uint8_t* p, int n, int use_raw_bytes,
+                         int no_dummy_prefix, const int32_t* cm_counts,
+                         const int32_t* cm_values, int cm_width, int cm_min,
+                         int cm_max, int32_t* buf, int32_t* offs,
+                         int32_t* nbuf, int32_t* noffs, int32_t** pcur,
+                         int32_t** pcuro) {
+    if (n == 0) return -1;
+    int base = 0;
+    if (!no_dummy_prefix) { buf[0] = SPM; if (offs) offs[0] = -1; base = 1; }
+    int got;
+    if (use_raw_bytes) {
+        int i = 0;
+        if (n >= 3 && p[0] == 0xEF && p[1] == 0xBB && p[2] == 0xBF) i = 3;
+        got = 0;
+        for (; i < n; ++i) {
+            buf[base + got] = p[i];
+            if (offs) offs[base + got] = i;
+            ++got;
+        }
+    } else {
+        got = decode_utf8(p, n, buf + base, offs ? offs + base : nullptr, n);
+    }
+    if (got <= 0 || got > n) return -1;
+    int k = base + got;
+
+    // charmap normalization (FAUtils_cl.h:312-436)
+    int32_t* cur = buf;
+    int32_t* curo = offs;
+    if (cm_counts) {
+        int m = 0;
+        for (int i = 0; i < k; ++i) {
+            int32_t c = cur[i];
+            int cnt = -1;
+            if (c >= cm_min && c <= cm_max) cnt = cm_counts[c - cm_min];
+            if (cnt > cm_width) cnt = -1;
+            if (cnt < 0) {
+                nbuf[m] = c;
+                if (noffs) noffs[m] = curo[i];
+                ++m;
+            } else if (cnt >= 1 && cnt <= 10) {
+                const int32_t* v = cm_values + (int64_t)(c - cm_min) * cm_width;
+                for (int j = 0; j < cnt; ++j) {
+                    nbuf[m] = v[j];
+                    if (noffs) noffs[m] = curo[i];
+                    ++m;
+                }
+            } // cnt == 0 or > 10: dropped
+        }
+        // reference bails out when normalization overflows its
+        // 2*(bytes+1) buffer (blingfiretokdll.cpp:1438-1445)
+        if (m <= 0 || m > 2 * (n + 1)) return -1;
+        cur = nbuf;
+        curo = noffs;
+        k = m;
+    }
+
+    // whitespace squeeze (blingfiretokdll.cpp:1462-1496)
+    int w = 0;
+    for (int i = 0; i < k; ++i) {
+        int32_t c = cur[i];
+        if (!is_ws(c)) {
+            cur[w] = c;
+            if (curo) curo[w] = curo[i];
+            ++w;
+        } else if (w == 0 || cur[w - 1] != SPM) {
+            cur[w] = SPM;
+            if (curo) curo[w] = curo[i];
+            ++w;
+        }
+    }
+    if (w > 1 && cur[w - 1] == SPM) --w;
+    *pcur = cur;
+    *pcuro = curo;
+    return w;
+}
+
 int btl_prep_sp_batch(const uint8_t* docs, const int64_t* doc_off, int n_docs,
                       int use_raw_bytes, int no_dummy_prefix,
                       const int32_t* cm_counts, const int32_t* cm_values,
@@ -101,75 +182,12 @@ int btl_prep_sp_batch(const uint8_t* docs, const int64_t* doc_off, int n_docs,
         for (int j = 0; j < n_sym; ++j) { xrow[j] = -1; srow[j] = 0; }
         lengths[d] = 0;
         status[d] = 0;
-        if (n == 0) { status[d] = 1; continue; }
 
-        int k = 0;
-        int base = 0;
-        if (!no_dummy_prefix) { buf[0] = SPM; if (offs) offs[0] = -1; base = 1; }
-        int got;
-        if (use_raw_bytes) {
-            int i = 0;
-            if (n >= 3 && p[0] == 0xEF && p[1] == 0xBB && p[2] == 0xBF) i = 3;
-            got = 0;
-            for (; i < n; ++i) {
-                buf[base + got] = p[i];
-                if (offs) offs[base + got] = i;
-                ++got;
-            }
-        } else {
-            got = decode_utf8(p, n, buf + base, offs ? offs + base : nullptr, n);
-        }
-        if (got <= 0 || got > n) { status[d] = 1; continue; }
-        k = base + got;
-
-        // charmap normalization (FAUtils_cl.h:312-436)
-        int32_t* cur = buf;
-        int32_t* curo = offs;
-        if (cm_counts) {
-            int m = 0;
-            for (int i = 0; i < k; ++i) {
-                int32_t c = cur[i];
-                int cnt = -1;
-                if (c >= cm_min && c <= cm_max) cnt = cm_counts[c - cm_min];
-                if (cnt > cm_width) cnt = -1;
-                if (cnt < 0) {
-                    nbuf[m] = c;
-                    if (noffs) noffs[m] = curo[i];
-                    ++m;
-                } else if (cnt >= 1 && cnt <= 10) {
-                    const int32_t* v = cm_values + (int64_t)(c - cm_min) * cm_width;
-                    for (int j = 0; j < cnt; ++j) {
-                        nbuf[m] = v[j];
-                        if (noffs) noffs[m] = curo[i];
-                        ++m;
-                    }
-                } // cnt == 0 or > 10: dropped
-            }
-            // reference bails out when normalization overflows its
-            // 2*(bytes+1) buffer (blingfiretokdll.cpp:1438-1445)
-            if (m <= 0 || m > 2 * (n + 1)) { status[d] = 1; continue; }
-            cur = nbuf;
-            curo = noffs;
-            k = m;
-        }
-
-        // whitespace squeeze (blingfiretokdll.cpp:1462-1496)
-        int w = 0;
-        for (int i = 0; i < k; ++i) {
-            int32_t c = cur[i];
-            if (!is_ws(c)) {
-                cur[w] = c;
-                if (curo) curo[w] = curo[i];
-                ++w;
-            } else if (w == 0 || cur[w - 1] != SPM) {
-                cur[w] = SPM;
-                if (curo) curo[w] = curo[i];
-                ++w;
-            }
-        }
-        if (w > 1 && cur[w - 1] == SPM) --w;
-        k = w;
-
+        int32_t *cur, *curo;
+        int k = prep_doc_syms(p, n, use_raw_bytes, no_dummy_prefix, cm_counts,
+                              cm_values, cm_width, cm_min, cm_max, buf, offs,
+                              nbuf, noffs, &cur, &curo);
+        if (k < 0) { status[d] = 1; continue; }
         if (k > n_sym) { status[d] = 2; continue; }
 
         // dense remap + pack
@@ -188,6 +206,285 @@ int btl_prep_sp_batch(const uint8_t* docs, const int64_t* doc_off, int n_docs,
     if (noffs) delete[] noffs;
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Unique-word-unit batch pipeline (native twin of runtime/dedup.py).
+//
+// One pass over the documents produces everything the device path needs:
+//   * unique units (deduped on their dense-iw symbol sequence),
+//   * a greedy dense packing of the unique units into n_sym-wide rows
+//     (non-SPM-initial units each open a row; SPM-initial units fill on —
+//     identical layout rules to dedup.pack_units),
+//   * the doc-major instance list used to stitch per-document ids back
+//     together after the device pass.
+//
+// Protocol: analyze() builds the state and reports sizes; emit() fills the
+// caller-allocated device input arrays; stitch() consumes the device OUTPUT
+// (compact (id+1)|start<<shift lanes) and writes flat ids + per-doc bounds
+// in one pass; free() releases the state (stitch frees implicitly).
+
+struct BtlUnitsState {
+    int n_docs = 0, n_sym = 0;
+    std::vector<int32_t> u_syms;       // concatenated unique-unit iw symbols
+    std::vector<int32_t> u_soff;       // (U+1) offsets into u_syms
+    std::vector<int32_t> u_row, u_off; // packing position per unique unit
+    std::vector<int32_t> inst_unit;    // (I) unit index per instance, doc-major
+    std::vector<int64_t> doc_inst_off; // (B+1)
+    std::vector<uint8_t> status;       // (B) 0 ok / 1 invalid / 2 overflow
+    std::vector<int32_t> row_unit_off; // (R+1) units per row, offset-ordered
+    std::vector<int32_t> row_units;    // unit ids sorted by (row, off)
+    std::vector<int64_t> hash_tab;     // open addressing: -1 empty, else unit id
+    int64_t hash_mask = 0;
+    int64_t total_syms = 0;            // sum of kept per-doc symbol counts
+    int R = 0;
+};
+
+static uint64_t hash_syms(const int32_t* s, int len) {
+    uint64_t h = (uint64_t)len * 0x9E3779B97F4A7C15ull;
+    for (int i = 0; i < len; ++i)
+        h = (h ^ (uint64_t)(uint32_t)s[i]) * 0x100000001B3ull;
+    return h ^ (h >> 29);
+}
+
+static void units_rehash(BtlUnitsState* st, int64_t cap) {
+    st->hash_tab.assign(cap, -1);
+    st->hash_mask = cap - 1;
+    int U = (int)st->u_soff.size() - 1;
+    for (int u = 0; u < U; ++u) {
+        const int32_t* s = st->u_syms.data() + st->u_soff[u];
+        int len = st->u_soff[u + 1] - st->u_soff[u];
+        uint64_t h = hash_syms(s, len) & st->hash_mask;
+        while (st->hash_tab[h] >= 0) h = (h + 1) & st->hash_mask;
+        st->hash_tab[h] = u;
+    }
+}
+
+// Returns the unique-unit id for syms[0..len), inserting if unseen.
+static int32_t unit_intern(BtlUnitsState* st, const int32_t* s, int len) {
+    if ((int64_t)(st->u_soff.size()) * 2 + 2 > st->hash_mask)
+        units_rehash(st, (st->hash_mask + 1) * 2);
+    uint64_t h = hash_syms(s, len) & st->hash_mask;
+    while (true) {
+        int64_t u = st->hash_tab[h];
+        if (u < 0) break;
+        int ulen = st->u_soff[u + 1] - st->u_soff[u];
+        if (ulen == len &&
+            memcmp(st->u_syms.data() + st->u_soff[u], s,
+                   (size_t)len * 4) == 0)
+            return (int32_t)u;
+        h = (h + 1) & st->hash_mask;
+    }
+    int32_t u = (int32_t)st->u_soff.size() - 1;
+    st->u_syms.insert(st->u_syms.end(), s, s + len);
+    st->u_soff.push_back((int32_t)st->u_syms.size());
+    st->hash_tab[h] = u;
+    return u;
+}
+
+// out_counts: [0]=U unique units, [1]=I instances, [2]=R packed rows,
+//             [3]=total kept symbols (an upper bound on emitted tokens)
+void* btl_units_analyze(const uint8_t* docs, const int64_t* doc_off,
+                        int n_docs, int use_raw_bytes, int no_dummy_prefix,
+                        const int32_t* cm_counts, const int32_t* cm_values,
+                        int cm_width, int cm_min, int cm_max,
+                        const int32_t* sym2iw, int64_t sym2iw_len,
+                        int spm_iw, int n_sym, int64_t* out_counts) {
+    BtlUnitsState* st = new BtlUnitsState();
+    st->n_docs = n_docs;
+    st->n_sym = n_sym;
+    st->status.assign(n_docs, 0);
+    st->doc_inst_off.assign(n_docs + 1, 0);
+    st->u_soff.assign(1, 0);
+    units_rehash(st, 1 << 14);
+
+    int64_t max_doc = 0;
+    for (int d = 0; d < n_docs; ++d) {
+        int64_t len = doc_off[d + 1] - doc_off[d];
+        if (len > max_doc) max_doc = len;
+    }
+    int64_t cap = 10 * max_doc + 16;
+    std::vector<int32_t> buf(cap), nbuf(cap), iw(cap);
+    std::vector<uint8_t> spmf(cap);
+
+    for (int d = 0; d < n_docs; ++d) {
+        st->doc_inst_off[d] = (int64_t)st->inst_unit.size();
+        const uint8_t* p = docs + doc_off[d];
+        int n = (int)(doc_off[d + 1] - doc_off[d]);
+        int32_t *cur, *curo;
+        int k = prep_doc_syms(p, n, use_raw_bytes, no_dummy_prefix, cm_counts,
+                              cm_values, cm_width, cm_min, cm_max, buf.data(),
+                              nullptr, nbuf.data(), nullptr, &cur, &curo);
+        if (k < 0) { st->status[d] = 1; continue; }
+        if (k > n_sym) { st->status[d] = 2; continue; }
+        st->total_syms += k;
+        // dense remap + SPM flags (unit boundaries use RAW symbols; dedup
+        // keys use iw sequences — exactly dedup.split_units semantics)
+        for (int i = 0; i < k; ++i) {
+            int32_t c = cur[i];
+            iw[i] = (c >= 0 && c < sym2iw_len) ? sym2iw[c] : -1;
+            spmf[i] = (c == SPM) ? 1 : 0;
+        }
+        // units: maximal [SPM-run +] non-SPM-run blocks
+        int start = 0;
+        for (int i = 1; i <= k; ++i) {
+            if (i == k || (spmf[i] && !spmf[i - 1])) {
+                int32_t u = unit_intern(st, iw.data() + start, i - start);
+                st->inst_unit.push_back(u);
+                start = i;
+            }
+        }
+    }
+    st->doc_inst_off[n_docs] = (int64_t)st->inst_unit.size();
+
+    // greedy dense packing (same layout rules as dedup.pack_units): units
+    // whose first iw != spm_iw each open a row (they may only sit at offset
+    // 0); SPM-initial units then fill rows left to right
+    int U = (int)st->u_soff.size() - 1;
+    st->u_row.assign(U, 0);
+    st->u_off.assign(U, 0);
+    std::vector<std::pair<int32_t, int32_t>> assign_order;  // (unit, len)
+    assign_order.reserve(U);
+    for (int pass = 0; pass < 2; ++pass)
+        for (int u = 0; u < U; ++u) {
+            int len = st->u_soff[u + 1] - st->u_soff[u];
+            bool spm0 = len > 0 &&
+                        st->u_syms[st->u_soff[u]] == (int32_t)spm_iw;
+            if ((pass == 0) == !spm0)
+                assign_order.emplace_back(u, len);
+        }
+    int n_open = 0;
+    for (auto& e : assign_order) {
+        int len = e.second;
+        bool spm0 = len > 0 &&
+                    st->u_syms[st->u_soff[e.first]] == (int32_t)spm_iw;
+        if (!spm0) ++n_open;
+        (void)len;
+    }
+    int row = -1, curp = n_sym + 1;
+    st->row_units.reserve(U);
+    std::vector<int32_t> row_count;
+    for (size_t j = 0; j < assign_order.size(); ++j) {
+        int32_t u = assign_order[j].first;
+        int len = assign_order[j].second;
+        if ((int)j < n_open || curp + len > n_sym) {
+            ++row;
+            curp = 0;
+            row_count.push_back(0);
+        }
+        st->u_row[u] = row;
+        st->u_off[u] = curp;
+        curp += len;
+        st->row_units.push_back(u);
+        ++row_count.back();
+    }
+    st->R = row + 1;
+    st->row_unit_off.assign(st->R + 1, 0);
+    for (int r = 0; r < st->R; ++r)
+        st->row_unit_off[r + 1] = st->row_unit_off[r] + row_count[r];
+    // row_units was appended in assignment order == (row, offset) order
+
+    out_counts[0] = U;
+    out_counts[1] = (int64_t)st->inst_unit.size();
+    out_counts[2] = st->R;
+    out_counts[3] = st->total_syms;
+    return st;
+}
+
+// Fill device inputs: px (R, n_sym) int32 iw rows (-1 pad), plen (R,),
+// status (n_docs,).
+void btl_units_emit(void* handle, int32_t* px, int32_t* plen,
+                    uint8_t* status) {
+    BtlUnitsState* st = (BtlUnitsState*)handle;
+    int N = st->n_sym;
+    memset(plen, 0, sizeof(int32_t) * st->R);
+    for (int64_t i = 0; i < (int64_t)st->R * N; ++i) px[i] = -1;
+    int U = (int)st->u_soff.size() - 1;
+    for (int u = 0; u < U; ++u) {
+        int len = st->u_soff[u + 1] - st->u_soff[u];
+        int32_t r = st->u_row[u], o = st->u_off[u];
+        memcpy(px + (int64_t)r * N + o, st->u_syms.data() + st->u_soff[u],
+               (size_t)len * 4);
+        if (o + len > plen[r]) plen[r] = o + len;
+    }
+    memcpy(status, st->status.data(), st->n_docs);
+}
+
+// Consume the device output and write flat per-doc ids.
+//
+//  rows       (rows_n, n_sym + 2) int32: lane j<count = (id+1)|(start<<shift);
+//             col n_sym = token count; col n_sym+1 = device-fallback flag
+//  out_ids    capacity cap int32
+//  out_bounds (n_docs+1) int64 token offsets per doc (fallback docs span 0)
+//  need_fb    (n_docs) 1 = doc must take the host-oracle path
+// Returns total tokens written, or -1 if cap was exceeded.
+int64_t btl_units_stitch(void* handle, const int32_t* rows, int64_t rows_n,
+                         int shift, int32_t* out_ids, int64_t cap,
+                         int64_t* out_bounds, uint8_t* need_fb) {
+    BtlUnitsState* st = (BtlUnitsState*)handle;
+    int N = st->n_sym;
+    int64_t stride = N + 2;
+    int U = (int)st->u_soff.size() - 1;
+    int32_t start_mask_shift = shift;
+    int32_t id_mask = (1 << shift) - 1;
+
+    // per-unit token spans within the packed rows
+    std::vector<int64_t> u_tok(U);      // flat index of first token in `rows`
+    std::vector<int32_t> u_cnt(U, 0);
+    std::vector<uint8_t> u_fb(U, 0);
+    for (int r = 0; r < st->R && r < rows_n; ++r) {
+        const int32_t* row = rows + r * stride;
+        int cnt = row[N];
+        bool fb = row[N + 1] != 0;
+        int ub = st->row_unit_off[r], ue = st->row_unit_off[r + 1];
+        if (fb) {
+            for (int q = ub; q < ue; ++q) u_fb[st->row_units[q]] = 1;
+            continue;
+        }
+        int q = ub;
+        int j = 0;
+        while (q < ue) {
+            int32_t u = st->row_units[q];
+            int32_t uo = st->u_off[u];
+            int32_t uend = uo + (st->u_soff[u + 1] - st->u_soff[u]);
+            // tokens are start-ascending within the row
+            while (j < cnt && (row[j] >> start_mask_shift) < uo) ++j;
+            u_tok[u] = r * stride + j;
+            int j0 = j;
+            while (j < cnt && (row[j] >> start_mask_shift) < uend) ++j;
+            u_cnt[u] = j - j0;
+            ++q;
+        }
+    }
+    if (st->R > rows_n) {  // caller passed fewer rows than packed (bug guard)
+        for (int u = 0; u < U; ++u)
+            if (st->u_row[u] >= rows_n) u_fb[u] = 1;
+    }
+
+    int64_t t = 0;
+    out_bounds[0] = 0;
+    for (int d = 0; d < st->n_docs; ++d) {
+        int64_t i0 = st->doc_inst_off[d], i1 = st->doc_inst_off[d + 1];
+        bool fb = st->status[d] != 0;
+        for (int64_t i = i0; !fb && i < i1; ++i)
+            fb = u_fb[st->inst_unit[i]] != 0;
+        need_fb[d] = fb ? 1 : 0;
+        if (!fb) {
+            for (int64_t i = i0; i < i1; ++i) {
+                int32_t u = st->inst_unit[i];
+                int32_t cnt = u_cnt[u];
+                if (t + cnt > cap) return -1;
+                const int32_t* src = rows + u_tok[u];
+                for (int32_t j = 0; j < cnt; ++j)
+                    out_ids[t + j] = (src[j] & id_mask) - 1;
+                t += cnt;
+            }
+        }
+        out_bounds[d + 1] = t;
+    }
+    return t;
+}
+
+void btl_units_free(void* handle) { delete (BtlUnitsState*)handle; }
 
 int btl_version() { return 1000; }
 

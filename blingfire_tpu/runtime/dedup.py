@@ -43,8 +43,17 @@ import numpy as np
 
 from ..ops import bpe as bpe_ops
 
-UNIT_MAX = 64  # longest unit the dedup path handles (p99.9 of real text)
+UNIT_MAX = 64  # longest unit the NUMPY dedup path handles (p99.9 of real text)
 PACK_ROWS = 512  # rows per dispatch (fixed shape -> one compile per kernel)
+
+# Native fast path: packed rows are dispatched in one (or few) calls whose
+# row count is rounded up to one of these buckets, so the jit cache holds at
+# most len(ROW_BUCKETS) compiled programs per kernel.  The top bucket repeats
+# for huge batches (compile cost grows with row count — the gpt2 resolve
+# program takes minutes beyond 2048 rows — while execution is already
+# throughput-bound at 2048).
+ROW_BUCKETS = (128, 512, 2048)
+ID_SHIFT = 21  # compact lane layout: (id + 1) | (start << ID_SHIFT)
 
 
 @dataclass
@@ -196,7 +205,34 @@ def _helpers():
             axis=1,
         )
 
-    return derive_spm, pack_out
+    @jax.jit
+    def pack_out_compact(ids, starts, counts, fb):
+        # one int32 per token lane: (id + 1) | (start << ID_SHIFT); trailing
+        # columns carry the per-row token count and device-fallback flag.
+        # Halves the d2h bytes vs separate id/start planes — the tunnel
+        # charges ~25-50 ms per transfer, so bytes AND transfer count matter.
+        lane = (ids + 1) | (starts << ID_SHIFT)
+        return jnp.concatenate(
+            [lane, counts[:, None], fb.astype(jnp.int32)[:, None]], axis=1
+        )
+
+    return derive_spm, pack_out, pack_out_compact
+
+
+def _row_chunks(n_rows: int) -> list[int]:
+    """Split n_rows into bucketed chunk sizes (ROW_BUCKETS; the largest
+    bucket repeats for huge batches)."""
+    top = ROW_BUCKETS[-1]
+    out = []
+    left = max(n_rows, 1)
+    while left > top:
+        out.append(top)
+        left -= top
+    for b in ROW_BUCKETS:
+        if left <= b:
+            out.append(b)
+            break
+    return out
 
 
 class UnitRunner:
@@ -213,11 +249,113 @@ class UnitRunner:
         self.tok = tok  # SpTokenizer
         m = tok._sym2iw
         self.spm_iw = int(m[SP_DELIMITER]) if SP_DELIMITER < len(m) else -2
+        # compact-lane packing requires every emitted id + 1 to fit below
+        # 1 << ID_SHIFT and starts to fit in the remaining bits
+        n_ids = int(tok.tables.ids_tab.shape[0])
+        self.compact_ok = (
+            tok.n_doc <= (1 << (31 - ID_SHIFT))
+            and n_ids + abs(tok.seg.id_offset) + 2 < (1 << ID_SHIFT)
+        )
+
+    def _kernel(self, xd, ld, unk_id):
+        """One fixed-shape device pass over packed unit rows."""
+        import jax.numpy as jnp
+
+        derive_spm, _po, _poc = _helpers()
+        tok = self.tok
+        if tok.is_bpe:
+            ids, st, _en, counts, fb = bpe_ops.bpe_segment(
+                tok.tables, xd, derive_spm(xd, self.spm_iw), ld,
+                jnp.int32(unk_id), tok.a_max,
+            )
+        else:
+            from ..ops import unigram as uni_ops
+
+            ids, st, _en, counts = uni_ops.unigram_segment(
+                tok.tables, xd, ld, jnp.int32(unk_id)
+            )
+            fb = jnp.zeros(xd.shape[0], bool)
+        return ids, st, counts, fb
+
+    def warm(self, buckets=ROW_BUCKETS, unk_id: int = 0):
+        """Compile (or load from the persistent cache) every bucket shape the
+        fast path can dispatch, so no compile lands inside a timed region."""
+        import jax.numpy as jnp
+
+        _ds, _po, pack_out_compact = _helpers()
+        N = self.tok.n_doc
+        for b in buckets:
+            bx = np.full((b, N), -1, np.int32)
+            bl = np.zeros(b, np.int32)
+            ids, st, counts, fb = self._kernel(jnp.asarray(bx), jnp.asarray(bl), unk_id)
+            np.asarray(pack_out_compact(ids, st, counts, fb))
+
+    # ---------------------------------------------------------------- native
+    # Production path: prep + unit split + dedup + packing in one C++ call
+    # (native/prep.cpp::btl_units_analyze), bucketed fixed-shape dispatches,
+    # ONE compact d2h per chunk started asynchronously at dispatch time, and
+    # a single C++ stitch that writes flat per-doc ids.
+
+    def dispatch_docs(self, docs_b: list[bytes], unk_id: int):
+        import jax.numpy as jnp
+
+        from .. import native
+
+        _ds, _po, pack_out_compact = _helpers()
+        tok = self.tok
+        N = tok.n_doc
+        assert self.compact_ok and unk_id < (1 << 20)
+        nu = native.units_analyze(
+            docs_b, N, tok._sym2iw, self.spm_iw,
+            tok.seg.use_raw_bytes, tok.seg.no_dummy_prefix, tok.seg.charmap,
+        )
+        pending = []  # (actual_rows, device handle)
+        lo = 0
+        for b in _row_chunks(nu.n_rows):
+            n = min(b, max(nu.n_rows - lo, 0))
+            bx = np.full((b, N), -1, np.int32)
+            blen = np.zeros(b, np.int32)
+            if n:
+                bx[:n] = nu.px[lo : lo + n]
+                blen[:n] = nu.plen[lo : lo + n]
+            ids, st, counts, fb = self._kernel(
+                jnp.asarray(bx), jnp.asarray(blen), unk_id
+            )
+            h = pack_out_compact(ids, st, counts, fb)
+            try:
+                h.copy_to_host_async()
+            except Exception:
+                pass  # backends without async d2h: the read below blocks
+            pending.append((n, h))
+            lo += n
+        return nu, pending
+
+    def collect_docs(self, state):
+        """Returns (flat ids int32, bounds int64 (B+1,), need_fb bool (B,),
+        status uint8 (B,) — 0 ok / 1 invalid / 2 overflow)."""
+        nu, pending = state
+        if nu.n_rows == 0:
+            rows = np.zeros((0, nu.n_sym + 2), np.int32)
+        elif len(pending) == 1:
+            rows = np.asarray(pending[0][1])[: pending[0][0]]
+        else:
+            rows = np.concatenate(
+                [np.asarray(h)[:n] for n, h in pending if n], axis=0
+            )
+        ids, bounds, need = nu.stitch(np.ascontiguousarray(rows), ID_SHIFT)
+        return ids, bounds, need, nu.status
+
+    def encode_docs(self, docs_b: list[bytes], unk_id: int):
+        return self.collect_docs(self.dispatch_docs(docs_b, unk_id))
+
+    # ----------------------------------------------------------------- numpy
+    # Portable fallback (no C++ toolchain): the original x/spm/lengths-based
+    # decomposition with host-side stitching.
 
     def dispatch(self, x, spm, lengths, unk_id: int):
         import jax.numpy as jnp
 
-        derive_spm, pack_out = _helpers()
+        derive_spm, pack_out, _poc = _helpers()
         tok = self.tok
         N = tok.n_doc
         ub = split_units(np.asarray(x), np.asarray(spm), np.asarray(lengths))

@@ -436,13 +436,156 @@ class SpTokenizer:
             offs.append(p.offs)
         return x, spm, lengths, offs, fallback
 
+    def _native_units_ok(self) -> bool:
+        """True when the native unique-unit fast path can serve this model."""
+        from .. import native
+
+        return (
+            self._chunk_safe
+            and native.available()
+            and self._unit_runner().compact_ok
+        )
+
+    def _patch_fallbacks(self, chunk, ids, bounds, need, status, unk_id, c):
+        """Replace the (rare) fallback docs' empty spans in a flat result:
+        overflow docs -> chunked device pass, invalid -> 0 ids, rest ->
+        host oracle.  Returns updated (ids, bounds)."""
+        repl: dict[int, list[int]] = {}
+        need_idx = np.flatnonzero(need)
+        over_idx = [int(k) for k in need_idx if status[k] == 2]
+        if over_idx:
+            got = self._encode_overflow([chunk[k] for k in over_idx], unk_id)
+            for k, g in zip(over_idx, got):
+                if g is not None:
+                    repl[k] = g
+                    c.chunked_docs += 1
+        for k in need_idx:
+            k = int(k)
+            if k in repl:
+                continue
+            d = chunk[k]
+            if len(d) == 0:
+                repl[k] = []
+                c.invalid_docs += 1
+            else:
+                repl[k] = self._oracle.text_to_ids(d, unk_id=unk_id)
+                c.fallback_docs += 1
+        cnt = np.diff(bounds)
+        for k, v in repl.items():
+            cnt[k] = len(v)
+        nb = np.zeros(len(bounds), np.int64)
+        np.cumsum(cnt, out=nb[1:])
+        out = np.empty(int(nb[-1]), np.int32)
+        ks = sorted(repl)
+        prev = 0
+        for k in ks:
+            if k > prev:  # untouched run [prev, k): counts unchanged
+                out[nb[prev] : nb[k]] = ids[bounds[prev] : bounds[k]]
+            out[nb[k] : nb[k + 1]] = repl[k]
+            prev = k + 1
+        n = len(cnt)
+        if prev < n:
+            out[nb[prev] : nb[n]] = ids[bounds[prev] : bounds[n]]
+        return out, nb
+
+    def encode_corpus_flat(
+        self,
+        docs: list[bytes | str],
+        unk_id: int = 0,
+        batch_docs: int = 16384,
+        counters=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Production corpus tokenization.
+
+        Returns (ids, bounds): document i's token ids are
+        ``ids[bounds[i]:bounds[i+1]]`` — the flat-buffer analog of the
+        reference C API's ids-into-caller-array contract
+        (blingfiretokdll.cpp:1097-1101).  The whole pipeline is batched:
+        native C++ prep/dedup/packing, bucketed fixed-shape device passes,
+        one asynchronous d2h per chunk, and a native C++ stitch; no per-doc
+        Python runs except for fallback documents."""
+        from . import metrics
+
+        c = counters or metrics.global_counters()
+        docs_b = [d.encode("utf-8") if isinstance(d, str) else d for d in docs]
+        if not (self.dedup_units and self._native_units_ok()):
+            out = self.encode_corpus(
+                docs_b, unk_id=unk_id, batch_docs=batch_docs, counters=c
+            )
+            bounds = np.zeros(len(out) + 1, np.int64)
+            np.cumsum([len(r) for r in out], out=bounds[1:])
+            ids = (
+                np.concatenate([np.asarray(r, np.int32) for r in out])
+                if bounds[-1]
+                else np.zeros(0, np.int32)
+            )
+            return ids.astype(np.int32, copy=False), bounds
+
+        runner = self._unit_runner()
+        parts: list[tuple[np.ndarray, np.ndarray]] = []
+        inflight: list = []
+
+        def collect(entry):
+            chunk, state = entry
+            with metrics.stage("collect", c):
+                ids, bounds, need, status = runner.collect_docs(state)
+                if need.any():
+                    ids, bounds = self._patch_fallbacks(
+                        chunk, ids, bounds, need, status, unk_id, c
+                    )
+                c.tokens_out += int(bounds[-1])
+                parts.append((ids, bounds))
+
+        for start in range(0, len(docs_b), batch_docs):
+            chunk = docs_b[start : start + batch_docs]
+            with metrics.stage("dispatch", c):
+                state = runner.dispatch_docs(chunk, unk_id)
+            c.bytes_in += sum(len(d) for d in chunk)
+            c.docs_in += len(chunk)
+            c.batches += 1
+            inflight.append((chunk, state))
+            if len(inflight) > 2:
+                collect(inflight.pop(0))
+        while inflight:
+            collect(inflight.pop(0))
+
+        if len(parts) == 1:
+            return parts[0]
+        total = sum(len(i) for i, _b in parts)
+        ids = np.empty(total, np.int32)
+        bounds = np.empty(len(docs_b) + 1, np.int64)
+        bounds[0] = 0
+        t = 0
+        d = 0
+        for pi, pb in parts:
+            ids[t : t + len(pi)] = pi
+            nb = len(pb) - 1
+            bounds[d + 1 : d + 1 + nb] = pb[1:] + t
+            t += len(pi)
+            d += nb
+        return ids, bounds
+
     def encode_batch(
         self, docs: list[bytes | str], unk_id: int = 0, dedup: bool | None = None
     ) -> list[list[int]]:
         docs_b = [d.encode("utf-8") if isinstance(d, str) else d for d in docs]
+        use_units = self.dedup_units if dedup is None else (dedup and self._chunk_safe)
+        if use_units and self._native_units_ok():
+            runner = self._unit_runner()
+            ids, bounds, need, status = runner.encode_docs(docs_b, unk_id)
+            if need.any():
+                from . import metrics
+
+                ids, bounds = self._patch_fallbacks(
+                    docs_b, ids, bounds, need, status, unk_id,
+                    metrics.global_counters(),
+                )
+            return [
+                ids[bounds[i] : bounds[i + 1]].tolist()
+                for i in range(len(docs_b))
+            ]
         x, spm, lengths, _offs, pre_fb = self._prep_batch(docs_b)
         x, spm, lengths = np.asarray(x), np.asarray(spm), np.asarray(lengths)
-        use_units = self.dedup_units if dedup is None else (dedup and self._chunk_safe)
 
         if use_units:
             uout, need = self._unit_runner().encode(x, spm, lengths, unk_id)
@@ -499,7 +642,11 @@ class SpTokenizer:
     ) -> list[list[int]]:
         """Streaming corpus tokenization: fixed-shape batches are dispatched
         back to back (JAX dispatch is async, so host prep of batch k+1
-        overlaps device compute of batch k)."""
+        overlaps device compute of batch k).
+
+        When the native unique-unit path serves this model, this is a
+        compatibility wrapper over :meth:`encode_corpus_flat` (per-doc
+        Python lists are NOT the production output format)."""
         import jax
         import jax.numpy as jnp
 
@@ -507,6 +654,14 @@ class SpTokenizer:
 
         c = counters or metrics.global_counters()
         docs_b = [d.encode("utf-8") if isinstance(d, str) else d for d in docs]
+        if self.dedup_units and self._native_units_ok():
+            ids, bounds = self.encode_corpus_flat(
+                docs_b, unk_id=unk_id, batch_docs=batch_docs, counters=c
+            )
+            return [
+                ids[bounds[i] : bounds[i + 1]].tolist()
+                for i in range(len(docs_b))
+            ]
         out: list[list[int]] = [None] * len(docs_b)  # type: ignore
 
         inflight = []

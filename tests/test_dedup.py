@@ -99,3 +99,53 @@ def test_dedup_off_still_exact(gpt2):
     got = gpt2.encode_batch(DOCS, unk_id=0, dedup=False)
     for d, g in zip(DOCS, got):
         assert list(g) == list(gpt2._oracle.text_to_ids(d, unk_id=0)), d
+
+
+# ---------------------------------------------------------------- native flat
+
+
+def test_native_units_analyze_matches_numpy(gpt2):
+    """Native C++ analyze (prep+split+dedup+pack) agrees with the numpy
+    decomposition on unit/instance counts and on the multiset of packed
+    symbols (packing order may differ — both layouts are valid)."""
+    from blingfire_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    docs = [d for d in DOCS if d]
+    x, spm, lengths = _prep(gpt2, docs)
+    ub = split_units(x, spm, lengths)
+    keep = ~ub.classic
+    nu = native.units_analyze(
+        docs, gpt2.n_doc, gpt2._sym2iw, gpt2._unit_runner().spm_iw,
+        gpt2.seg.use_raw_bytes, gpt2.seg.no_dummy_prefix, gpt2.seg.charmap,
+    )
+    # numpy path drops oversize-unit docs to classic; native keeps every
+    # unit (UNIT_MAX == n_doc there), so compare on the no-classic subset
+    if not ub.classic.any():
+        assert nu.n_units == len(ub.u_len)
+        assert nu.n_instances == len(ub.inst_unit)
+    assert (nu.status == 0).sum() == int(keep.sum()) + int(
+        (ub.classic & (lengths > 0)).sum()
+    )
+
+
+def test_encode_corpus_flat_parity(gpt2):
+    """encode_corpus_flat (native prep/dedup/stitch + compact d2h) matches
+    the host oracle doc by doc, including fallback splicing."""
+    docs = DOCS * 3 + [("word%d " % i).encode() * 40 for i in range(8)]
+    ids, bounds = gpt2.encode_corpus_flat(docs, unk_id=0, batch_docs=17)
+    assert bounds[0] == 0 and len(bounds) == len(docs) + 1
+    for i, d in enumerate(docs):
+        exp = gpt2._oracle.text_to_ids(d, unk_id=0) if d else []
+        got = ids[bounds[i] : bounds[i + 1]].tolist()
+        assert got == exp, (i, d[:40], got[:8], exp[:8])
+
+
+def test_encode_corpus_flat_matches_lists(gpt2):
+    """The compat list API and the flat API agree."""
+    docs = DOCS * 2
+    ids, bounds = gpt2.encode_corpus_flat(docs, unk_id=0, batch_docs=11)
+    lists = gpt2.encode_corpus(docs, unk_id=0, batch_docs=11)
+    for i in range(len(docs)):
+        assert ids[bounds[i] : bounds[i + 1]].tolist() == lists[i]
