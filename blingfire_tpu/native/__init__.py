@@ -143,6 +143,9 @@ class NativeUnits:
         self.n_instances = int(counts[1])
         self.n_rows = int(counts[2])
         self.total_syms = int(counts[3])
+        # rows [0, split_rows) hold only SPM-initial units <= 16 symbols
+        # (prep.cpp BTL_SHORT_LW); the device walks them at depth 16
+        self.split_rows = int(counts[4])
         lib = get_lib()
         self.px = np.empty((max(self.n_rows, 1), n_sym), np.int32)
         self.plen = np.zeros(max(self.n_rows, 1), np.int32)
@@ -218,7 +221,7 @@ def units_analyze(
     else:
         cc = cv = None
         cm_width = cm_min = cm_max = 0
-    counts = np.zeros(4, np.int64)
+    counts = np.zeros(5, np.int64)
     handle = lib.btl_units_analyze(
         ctypes.c_char_p(blob),
         doc_off.ctypes.data_as(ctypes.c_void_p),

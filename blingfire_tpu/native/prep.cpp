@@ -223,8 +223,14 @@ int btl_prep_sp_batch(const uint8_t* docs, const int64_t* doc_off, int n_docs,
 // (compact (id+1)|start<<shift lanes) and writes flat ids + per-doc bounds
 // in one pass; free() releases the state (stitch frees implicitly).
 
+// Units no longer than this (and SPM-initial) go to packed-row region A,
+// which the device walks with a short unrolled kernel.  Must match
+// dedup.SHORT_LW on the Python side.
+static const int BTL_SHORT_LW = 16;
+
 struct BtlUnitsState {
     int n_docs = 0, n_sym = 0;
+    int split_rows = 0;
     std::vector<int32_t> u_syms;       // concatenated unique-unit iw symbols
     std::vector<int32_t> u_soff;       // (U+1) offsets into u_syms
     std::vector<int32_t> u_row, u_off; // packing position per unique unit
@@ -336,37 +342,20 @@ void* btl_units_analyze(const uint8_t* docs, const int64_t* doc_off,
     }
     st->doc_inst_off[n_docs] = (int64_t)st->inst_unit.size();
 
-    // greedy dense packing (same layout rules as dedup.pack_units): units
-    // whose first iw != spm_iw each open a row (they may only sit at offset
-    // 0); SPM-initial units then fill rows left to right
+    // Greedy dense packing into two row regions (layout rules as before:
+    // non-SPM-initial units may only sit at row offset 0; SPM-initial units
+    // fill left to right).  Region A = SPM-initial units of length <=
+    // BTL_SHORT_LW, packed into rows [0, split_rows): the device walks
+    // those rows with the short unrolled kernel (a match can never out-run
+    // its unit under chunk-safe vocabularies).  Region B = everything else.
     int U = (int)st->u_soff.size() - 1;
     st->u_row.assign(U, 0);
     st->u_off.assign(U, 0);
-    std::vector<std::pair<int32_t, int32_t>> assign_order;  // (unit, len)
-    assign_order.reserve(U);
-    for (int pass = 0; pass < 2; ++pass)
-        for (int u = 0; u < U; ++u) {
-            int len = st->u_soff[u + 1] - st->u_soff[u];
-            bool spm0 = len > 0 &&
-                        st->u_syms[st->u_soff[u]] == (int32_t)spm_iw;
-            if ((pass == 0) == !spm0)
-                assign_order.emplace_back(u, len);
-        }
-    int n_open = 0;
-    for (auto& e : assign_order) {
-        int len = e.second;
-        bool spm0 = len > 0 &&
-                    st->u_syms[st->u_soff[e.first]] == (int32_t)spm_iw;
-        if (!spm0) ++n_open;
-        (void)len;
-    }
-    int row = -1, curp = n_sym + 1;
     st->row_units.reserve(U);
     std::vector<int32_t> row_count;
-    for (size_t j = 0; j < assign_order.size(); ++j) {
-        int32_t u = assign_order[j].first;
-        int len = assign_order[j].second;
-        if ((int)j < n_open || curp + len > n_sym) {
+    int row = -1, curp = n_sym + 1;
+    auto place = [&](int32_t u, int len, bool open_row) {
+        if (open_row || curp + len > n_sym) {
             ++row;
             curp = 0;
             row_count.push_back(0);
@@ -376,6 +365,26 @@ void* btl_units_analyze(const uint8_t* docs, const int64_t* doc_off,
         curp += len;
         st->row_units.push_back(u);
         ++row_count.back();
+    };
+    auto spm0_of = [&](int u) {
+        return st->u_soff[u + 1] > st->u_soff[u] &&
+               st->u_syms[st->u_soff[u]] == (int32_t)spm_iw;
+    };
+    // region A
+    for (int u = 0; u < U; ++u) {
+        int len = st->u_soff[u + 1] - st->u_soff[u];
+        if (spm0_of(u) && len <= BTL_SHORT_LW) place(u, len, false);
+    }
+    st->split_rows = row + 1;
+    curp = n_sym + 1;  // force a fresh row at the region boundary
+    // region B: non-SPM-initial first (each opens a row), long SPM units fill
+    for (int u = 0; u < U; ++u) {
+        int len = st->u_soff[u + 1] - st->u_soff[u];
+        if (!spm0_of(u)) place(u, len, true);
+    }
+    for (int u = 0; u < U; ++u) {
+        int len = st->u_soff[u + 1] - st->u_soff[u];
+        if (spm0_of(u) && len > BTL_SHORT_LW) place(u, len, false);
     }
     st->R = row + 1;
     st->row_unit_off.assign(st->R + 1, 0);
@@ -387,6 +396,7 @@ void* btl_units_analyze(const uint8_t* docs, const int64_t* doc_off,
     out_counts[1] = (int64_t)st->inst_unit.size();
     out_counts[2] = st->R;
     out_counts[3] = st->total_syms;
+    out_counts[4] = st->split_rows;
     return st;
 }
 

@@ -6,7 +6,7 @@ Reformulates the reference's sequential per-string algorithm
 
   1. WALK     — every input position advances through the vocabulary Mealy
                 automaton in lockstep (one comb-table gather step per depth),
-                recording up to K1 matches per start position.
+                recording matches BY DEPTH (slot d = match of length d+1).
   2. FILTER   — the "bpe-opt" whole-token optimisation, fast-forward skips
                 and unknown-run merging, reproduced with closed-form masks +
                 one O(N) scan (visited positions).
@@ -203,9 +203,12 @@ def _bitonic_sort(keys: tuple, payload: tuple = ()) -> tuple:
     return tuple(arrays)
 
 
-K1 = 12  # match slots per start position: gpt2-class vocabularies have
-# 9+ token-prefixes at common word starts ('_researchers'), so 8 slots
-# overflowed ~3% of realistic docs into host fallback
+L_REC = 32  # recorded match-depth slots: matches are stored BY DEPTH, one
+# (B, N) slice write per walk step (an earlier per-ordinal K1-slot layout
+# needed a 12-wide onehot select every step — ~half the walk's VPU work).
+# Tokens deeper than L_REC flag the row for host fallback (none of the
+# shipped vocabularies produce one on realistic text; the walk still runs
+# to tables.max_len so the flag is exact).
 
 
 def _walk_impl(
@@ -213,44 +216,50 @@ def _walk_impl(
     x_iw: jax.Array,  # int32 (B, N) dense input weights, -1 = no-transition
     is_spm: jax.Array,  # bool (B, N) raw symbol == U+2581
     lengths: jax.Array,  # int32 (B,)
+    lw: int | None = None,  # static walk-depth cap (None = min(L, L_REC))
+    bounded: bool = False,  # caller guarantees no match can exceed lw
 ):
-    """WALK phase: returns (count, m_pack, m_rank, slot_overflow)."""
+    """WALK phase: returns (m_pack, m_rank, slot_overflow).
+
+    m_pack (lw, B, N) int32: slot d holds the match of length d+1
+    starting at that position (-1 = none), packed as
+      bits 0..19  token id (vocabularies < 2^20, checked at build)
+      bit  27     whole-token flag (next symbol is ▁/EOS)
+    The match's end position is implicit: pos + d.
+
+    The depth loop is UNROLLED: on the tunneled TPU backend every
+    lax.while_loop iteration re-stages the loop-invariant model tables
+    (~5 ms/iteration with the 100 MB gpt2 trie — 3x the cost of the
+    gather itself), so a static unrolled chain is strictly faster.
+    ``bounded=True`` (legal when every packed unit in the batch is known
+    to be <= lw symbols and the vocabulary is chunk-safe, so no match can
+    cross a unit boundary) skips the deeper-match overflow flag."""
     B, N = x_iw.shape
     L = tables.max_len
+    LW = min(L, L_REC) if lw is None else min(lw, L)
     pos = jnp.arange(N, dtype=jnp.int32)
     valid = pos[None, :] < lengths[:, None]  # (B, N)
 
     # padded symbol / delimiter-or-end lookups for depth-shifted access
-    x_pad = jnp.pad(x_iw, ((0, 0), (0, L + 1)), constant_values=-1)
-    posl = jnp.arange(N + L + 1, dtype=jnp.int32)
-    spm_or_end = jnp.pad(is_spm, ((0, 0), (0, L + 1))) | (
+    x_pad = jnp.pad(x_iw, ((0, 0), (0, LW + 1)), constant_values=-1)
+    posl = jnp.arange(N + LW + 1, dtype=jnp.int32)
+    spm_or_end = jnp.pad(is_spm, ((0, 0), (0, LW + 1))) | (
         posl[None, :] >= lengths[:, None]
     )
 
     nkeys = tables.ids_tab.shape[0]
-
-    # ------------------------------------------------------------------ WALK
-    def walk_cond(st):
-        d, state, *_ = st
-        return (d < L) & jnp.any(state >= 0)
-
-    # match slots are PACKED into one int32 per slot to minimize the HBM
-    # traffic of the depth loop (the walk is bandwidth-bound):
-    #   bits 0..19  token id        (vocabularies < 2^20, checked at build)
-    #   bits 20..26 depth d         (max token length < 128)
-    #   bit  27     whole-token flag
-    # empty slot = -1
-    # Slot layout is (K1, B, N) — K1 LEADING: with K1 minor the TPU pads the
-    # 8-wide lane dimension to 128, a 16x memory blowup that made the filter
-    # phase dominate the whole kernel.
     use_trie = tables.trie_next is not None
     V = tables.trie_v
     A = tables.trie_a
-    kslot = jnp.arange(K1, dtype=jnp.int32)[:, None, None]  # (K1, 1, 1)
 
-    def walk_body(st):
-        (d, state, sum_ow, count, m_pack, m_rank, overflow) = st
-        c = jax.lax.dynamic_slice(x_pad, (0, d), (B, N))
+    init0 = tables.trie_root if use_trie else 0
+    # NOTE: comb initial state id is 0 by construction (densify_automaton)
+    state = jnp.where(valid & (x_iw >= 0), init0, -1).astype(jnp.int32)
+    sum_ow = jnp.zeros((B, N), jnp.int32)
+    packs = []
+    ranks = []
+    for d in range(LW):
+        c = x_pad[:, d : d + N]
         if use_trie:
             # vocabulary-trie step: ONE gather; node < V means "final with
             # token id == node index"
@@ -275,44 +284,34 @@ def _walk_impl(
             key = jnp.clip(sum_ow, 0, nkeys - 1)
             mid = tables.ids_tab[key]
 
-        nxt_spm = jax.lax.dynamic_slice(spm_or_end, (0, d + 1), (B, N))
-        packed = mid | (d << 20) | (nxt_spm.astype(jnp.int32) << 27)
-
-        onehot = (count[None] == kslot) & fin[None]  # (K1, B, N)
-        m_pack = jnp.where(onehot, packed[None], m_pack)
+        nxt_spm = spm_or_end[:, d + 1 : d + 1 + N]
+        packs.append(
+            jnp.where(fin, mid | (nxt_spm.astype(jnp.int32) << 27), -1)
+        )
         if tables.with_merges:
             if use_trie:
-                mrank = tables.rank_by_id[jnp.clip(mid, 0, V - 1)]
+                ranks.append(tables.rank_by_id[jnp.clip(mid, 0, V - 1)])
             else:
-                mrank = tables.ranks_tab[jnp.clip(sum_ow, 0, nkeys - 1)]
-            m_rank = jnp.where(onehot, mrank[None], m_rank)
-        overflow = overflow | (fin & (count >= K1))
-        count = count + fin.astype(jnp.int32)
-        return (d + 1, ns, sum_ow, count, m_pack, m_rank, overflow)
+                ranks.append(tables.ranks_tab[jnp.clip(sum_ow, 0, nkeys - 1)])
+        state = ns
 
-    init0 = tables.trie_root if use_trie else 0
-    init_state = jnp.where(valid & (x_iw >= 0), init0, -1).astype(jnp.int32)
-    # NOTE: comb initial state id is 0 by construction (densify_automaton)
-    st0 = (
-        jnp.int32(0),
-        init_state,
-        jnp.zeros((B, N), jnp.int32),
-        jnp.zeros((B, N), jnp.int32),
-        jnp.full((K1, B, N), -1, jnp.int32),
-        jnp.zeros((K1, B, N) if tables.with_merges else (1, 1, 1), jnp.float32),
-        jnp.zeros((B, N), bool),
+    m_pack = jnp.stack(packs)
+    m_rank = (
+        jnp.stack(ranks) if tables.with_merges
+        else jnp.zeros((1, 1, 1), jnp.float32)
     )
-    (_, _, _, count, m_pack, m_rank, slot_overflow) = jax.lax.while_loop(
-        walk_cond, walk_body, st0
-    )
-    return count, m_pack, m_rank, slot_overflow
+    # a still-alive state at the cap == a potential deeper match
+    if L > LW and not bounded:
+        slot_overflow = state >= 0
+    else:
+        slot_overflow = jnp.zeros((B, N), bool)
+    return m_pack, m_rank, slot_overflow
 
 
 def _resolve_impl(
     tables: BpeDeviceTables,
-    count: jax.Array,  # int32 (B, N) matches per start
-    m_pack: jax.Array,  # int32 (K1, B, N) packed match slots
-    m_rank: jax.Array,  # float32 (K1, B, N) or (1,1,1)
+    m_pack: jax.Array,  # int32 (L_REC, B, N) packed match-by-depth slots
+    m_rank: jax.Array,  # float32 (L_REC, B, N) or (1,1,1)
     slot_overflow: jax.Array,  # bool (B, N)
     is_spm: jax.Array,
     lengths: jax.Array,
@@ -320,10 +319,10 @@ def _resolve_impl(
     a_max: int,
 ):
     """FILTER+SORT+CLAIM+EMIT phases on the walk's match slots."""
-    _, B, N = m_pack.shape
+    LR, B, N = m_pack.shape
     pos = jnp.arange(N, dtype=jnp.int32)
     valid = pos[None, :] < lengths[:, None]  # (B, N)
-    kslot = jnp.arange(K1, dtype=jnp.int32)[:, None, None]  # (K1, 1, 1)
+    dslot = jnp.arange(LR, dtype=jnp.int32)[:, None, None]  # (LR, 1, 1)
 
     # profiling aid: BTL_BPE_PHASE=filter|sort|claim truncates the graph after
     # that phase (outputs keep a live data dependency so nothing is DCE'd)
@@ -336,26 +335,27 @@ def _resolve_impl(
         a = jnp.zeros((B, 1), jnp.int32) + z
         return a, a, a, z + jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool)
 
-    m_id = m_pack & 0xFFFFF  # (K1, B, N)
-    m_end = pos[None, None, :] + ((m_pack >> 20) & 0x7F)
-    m_whole = ((m_pack >> 27) & 1) == 1
+    valid_slot = m_pack >= 0  # (LR, B, N)
+    m_id = m_pack & 0xFFFFF
+    m_end = pos[None, None, :] + dslot  # slot d = match of length d+1
+    m_whole = valid_slot & (((m_pack >> 27) & 1) == 1)
 
     # ---------------------------------------------------------------- FILTER
-    # all slot-wise ops stay in (K1, B, N) layout (lane dim = N)
-    valid_slot = kslot < count[None]
-    has = count > 0
+    # all slot-wise ops stay in (LR, B, N) layout (lane dim = N)
+    has = jnp.any(valid_slot, axis=0)
 
     if tables.fast:
-        # whole-token optimisation fires for slot k when the start is a ▁,
-        # the match ends right before a ▁/EOS, and an earlier match exists
-        # (…_bpe_t.h:189-206)
-        fired = m_whole & is_spm[None] & (kslot >= 1) & valid_slot
-        dlast = jnp.max(jnp.where(fired, kslot, -1), axis=0)  # (B, N)
-        ff_end = jnp.take_along_axis(
-            m_end, jnp.maximum(dlast, 0)[None], axis=0
-        )[0]
-        ff = jnp.where(dlast >= 0, ff_end, pos[None, :])
-        survive = valid_slot & (kslot >= dlast[None])
+        # whole-token optimisation fires for slot d when the start is a ▁,
+        # the match ends right before a ▁/EOS, and a SHORTER match exists
+        # (matches are enumerated in depth order, so "an earlier match" ==
+        # "a valid slot at smaller depth"; …_bpe_t.h:189-206)
+        prev_valid = (
+            jnp.cumsum(valid_slot.astype(jnp.int32), axis=0) - valid_slot
+        ) > 0
+        fired = m_whole & is_spm[None] & prev_valid
+        dlast = jnp.max(jnp.where(fired, dslot, -1), axis=0)  # (B, N)
+        ff = jnp.where(dlast >= 0, pos[None, :] + dlast, pos[None, :])
+        survive = valid_slot & (dslot >= dlast[None])
     else:
         ff = jnp.broadcast_to(pos[None, :], (B, N))
         survive = valid_slot
@@ -393,114 +393,120 @@ def _resolve_impl(
     )
 
     # ------------------------------------------------------------------ SORT
-    # real arc slots flattened slot-major: flat index k*N + p (the relative
-    # order of arcs only matters through the (rank, id, start) sort keys,
-    # which are unique per arc, so any flat order works)
-    def _flat(a):  # (K1, B, N) -> (B, K1*N)
-        return jnp.moveaxis(a, 1, 0).reshape(B, K1 * N)
-
-    r_start = jnp.broadcast_to(jnp.tile(pos, K1)[None, :], (B, K1 * N))
-    r_end = _flat(m_end)
-    r_id = _flat(m_id)
-    r_rank = (
-        _flat(m_rank)
-        if tables.with_merges
-        else jnp.zeros((B, N * K1), jnp.float32)
-    )
-    r_valid = _flat(survive)
-
-    u_start = jnp.broadcast_to(pos[None, :], (B, N))
-    u_end = jnp.minimum(run_end, N - 1)
-    u_id = jnp.broadcast_to(unk_id, (B, N)).astype(jnp.int32)
-    u_rank = jnp.zeros((B, N), jnp.float32)
-    u_valid = run_start
-
-    starts = jnp.concatenate([r_start, u_start], axis=1)
-    ends = jnp.concatenate([r_end, u_end], axis=1)
-    ids = jnp.concatenate([r_id, u_id], axis=1)
-    ranks = jnp.concatenate([r_rank, u_rank], axis=1)
-    avalid = jnp.concatenate([r_valid, u_valid], axis=1)
-
-    n_arcs = jnp.sum(avalid, axis=1)
+    # sort order: (merge-rank desc,) id asc, start asc
+    n_arcs = jnp.sum(survive, axis=(0, 2)) + jnp.sum(run_start, axis=1)
     arc_overflow = n_arcs > a_max
+    max_id = int(tables.ids_tab.shape[0]) + abs(tables.id_offset) + 2
+    depth_bits = max(N - 1, 1).bit_length()  # unknown runs span up to N-1
+    dmask = (1 << depth_bits) - 1
+    # geometry packs into the low bits; ids pack too when small enough
+    packable = (max_id + 2) * N < (1 << (31 - depth_bits))
 
     if _phase == "filter":
         return _phase_out(
-            jnp.sum(starts) + jnp.sum(ends) + jnp.sum(ids) + jnp.sum(n_arcs)
+            jnp.sum(survive) + jnp.sum(run_end) + jnp.sum(n_arcs)
         )
-
-    # sort order: (merge-rank desc,) id asc, start asc
-    NS = avalid.shape[1]
 
     if _gather_mode():
-        # TPU: XLA scatters are serialized and catastrophically slow, and
-        # jax.lax.sort over the full (B, N*K1+N) arc slab dominated BOTH the
-        # kernel runtime (~90%) and the compile time.  Instead:
-        #   1. COMPACT the surviving arcs to (B, a_max) with an unrolled
-        #      binary search over the validity prefix-sum (log2(NS) cheap
-        #      row gathers — no sort, no scatter);
-        #   2. SORT only the compacted slab with a hand-rolled bitonic
-        #      min/max network (pure elementwise + reshape stages).
-        c = jnp.cumsum(avalid.astype(jnp.int32), axis=1)
-        A2 = 1 << max(1, (a_max - 1).bit_length())  # bitonic needs a pow2
-        targets = jnp.broadcast_to(
-            jnp.arange(1, A2 + 1, dtype=jnp.int32)[None, :], (B, A2)
-        )
-        src = jnp.minimum(_lower_bound(c, targets), NS - 1)
-        c_valid = targets <= n_arcs[:, None]
+        # TPU: row gathers cost ~9 ns/element, so the former binary-search
+        # compaction (log2(NS) take_along_axis passes over (B, a_max)) was
+        # the single most expensive stage of the whole kernel.  Instead:
+        #   1. PRE-COMPACT the surviving depth slots to K2 ordinals per
+        #      position with one-hot sums over the small LR axis — pure
+        #      VPU select/add work, no gathers;
+        #   2. SORT the compact (B, K2*N + N) key slab directly with the
+        #      bitonic min/max network and take the first a_max entries
+        #      (invalid keys sort to the end as INT32_MAX).
+        K2 = 12  # max surviving matches per start (deeper ones are rare:
+        # the whole-token filter already discards shorter-than-dlast slots)
+        csum = jnp.cumsum(survive.astype(jnp.int32), axis=0)  # (LR, B, N)
+        cnt = csum[-1]  # (B, N)
+        k2_overflow = jnp.any(cnt > K2, axis=1)
 
-        max_id = int(tables.ids_tab.shape[0]) + abs(tables.id_offset) + 2
-        depth_bits = max(N - 1, 1).bit_length()  # unknown runs span up to N-1
-        packable = (
-            not tables.with_merges
-            and (max_id + 2) * N < (1 << (31 - depth_bits))
-        )
+        ids_safe = jnp.minimum(m_id, jnp.int32(max_id))
         if packable:
-            depth = jnp.clip(ends - starts, 0, (1 << depth_bits) - 1)
-            # ids are < max_id for vocabulary arcs by construction; unknown
-            # arcs carry the caller's unk_id, clamped here so the packing
-            # cannot overflow (an unk_id beyond the vocabulary would be a
-            # caller error anyway — same-id arcs keep their relative order)
-            ids_safe = jnp.minimum(ids, jnp.int32(max_id))
-            keyp = ((ids_safe * jnp.int32(N) + starts) << depth_bits) | depth
-            ckey = jnp.where(c_valid, jnp.take_along_axis(keyp, src, 1), INT32_MAX)
-            (skey,) = _bitonic_sort((ckey,))
-            skey = skey[:, :a_max]
-            s_valid = skey != INT32_MAX
+            key_full = ((ids_safe * jnp.int32(N) + pos[None, None, :])
+                        << depth_bits) | dslot
+            per_slot = (key_full,)
+        else:
+            geo = (pos[None, None, :] << depth_bits) | dslot
+            per_slot = (ids_safe, jnp.broadcast_to(geo, (LR, B, N)))
+        if tables.with_merges:
+            per_slot = (_float_desc_key(m_rank),) + per_slot
+
+        cols = [[] for _ in per_slot]
+        for j in range(K2):
+            sel = survive & (csum == (j + 1))
+            have = cnt >= (j + 1)
+            for ki, arr in enumerate(per_slot):
+                v = jnp.sum(jnp.where(sel, arr, 0), axis=0)
+                cols[ki].append(jnp.where(have, v, INT32_MAX))
+
+        # unknown-run arcs occupy one extra N-wide column block
+        u_depth = jnp.clip(jnp.minimum(run_end, N - 1) - pos[None, :], 0, dmask)
+        unk_c = jnp.minimum(unk_id, jnp.int32(max_id))
+        if packable:
+            u_key = ((unk_c * jnp.int32(N) + pos[None, :]) << depth_bits) | u_depth
+            u_cols = (u_key,)
+        else:
+            u_cols = (
+                jnp.broadcast_to(unk_c, (B, N)),
+                (pos[None, :] << depth_bits) | u_depth,
+            )
+        if tables.with_merges:
+            u_cols = (_float_desc_key(jnp.zeros((B, N), jnp.float32)),) + u_cols
+        for ki, arr in enumerate(u_cols):
+            cols[ki].append(jnp.where(run_start, arr, INT32_MAX))
+
+        NS2 = (K2 + 1) * N
+        P2 = 1 << (NS2 - 1).bit_length()
+        keys = tuple(
+            jnp.concatenate(
+                c + [jnp.full((B, P2 - NS2), INT32_MAX, jnp.int32)], axis=1
+            )
+            for c in cols
+        )
+        skeys = _bitonic_sort(keys)
+        skeys = tuple(k[:, :a_max] for k in skeys)
+        s_valid = skeys[-1] != INT32_MAX
+        if packable:
+            skey = skeys[-1]
             sk = jnp.where(s_valid, skey >> depth_bits, 0)
             s_start = sk % jnp.int32(N)
             s_id = sk // jnp.int32(N)
-            s_end = s_start + jnp.where(
-                s_valid, skey & ((1 << depth_bits) - 1), 0
-            )
+            s_end = s_start + jnp.where(s_valid, skey & dmask, 0)
         else:
-            c_start = jnp.take_along_axis(starts, src, 1)
-            c_end = jnp.take_along_axis(ends, src, 1)
-            c_id = jnp.where(
-                c_valid, jnp.take_along_axis(ids, src, 1), INT32_MAX
-            )
-            keys = (c_id, jnp.where(c_valid, c_start, INT32_MAX))
-            if tables.with_merges:
-                kr = jnp.where(
-                    c_valid,
-                    jnp.take_along_axis(_float_desc_key(ranks), src, 1),
-                    INT32_MAX,
-                )
-                keys = (kr,) + keys
-            out = _bitonic_sort(keys, (c_end,))
-            if tables.with_merges:
-                _, s_id, s_start, s_end = out
-            else:
-                s_id, s_start, s_end = out
-            s_id, s_start, s_end = (
-                s_id[:, :a_max], s_start[:, :a_max], s_end[:, :a_max]
-            )
-            s_valid = s_id != INT32_MAX
-            s_id = jnp.where(s_valid, s_id, 0)
-            s_start = jnp.where(s_valid, s_start, 0)
+            s_id = jnp.where(s_valid, skeys[-2], 0)
+            sgeo = jnp.where(s_valid, skeys[-1], 0)
+            s_start = sgeo >> depth_bits
+            s_end = s_start + (sgeo & dmask)
+        fallback_extra = k2_overflow
     else:
-        # CPU: scatter-compact the valid arcs first (scatters are cheap
-        # there), then sort only the (B, a_max) slab
+        fallback_extra = jnp.zeros((B,), bool)
+        # CPU: build flat arc slabs (slot-major: flat index d*N + p), then
+        # scatter-compact the valid arcs (scatters are cheap there) and
+        # sort only the (B, a_max) slab
+        def _flat(a):  # (LR, B, N) -> (B, LR*N)
+            return jnp.moveaxis(a, 1, 0).reshape(B, LR * N)
+
+        starts = jnp.concatenate(
+            [jnp.broadcast_to(jnp.tile(pos, LR)[None, :], (B, LR * N)),
+             jnp.broadcast_to(pos[None, :], (B, N))], axis=1
+        )
+        ends = jnp.concatenate(
+            [_flat(jnp.broadcast_to(m_end, (LR, B, N))),
+             jnp.minimum(run_end, N - 1)], axis=1
+        )
+        ids = jnp.concatenate(
+            [_flat(m_id),
+             jnp.broadcast_to(unk_id, (B, N)).astype(jnp.int32)], axis=1
+        )
+        ranks = jnp.concatenate(
+            [_flat(m_rank) if tables.with_merges
+             else jnp.zeros((B, N * LR), jnp.float32),
+             jnp.zeros((B, N), jnp.float32)], axis=1
+        )
+        avalid = jnp.concatenate([_flat(survive), run_start], axis=1)
         slot_pos = jnp.cumsum(avalid.astype(jnp.int32), axis=1) - 1
         keep_arc = avalid & (slot_pos < a_max)
         flat_b2 = jnp.broadcast_to(
@@ -564,7 +570,18 @@ def _resolve_impl(
     else:
         # while-loop with a data-dependent bound: arcs are sorted with all
         # invalid slots at the end, so iterate only to the largest per-batch
-        # arc count instead of a_max
+        # arc count instead of a_max.  The body handles UNROLL consecutive
+        # arcs per iteration — per-iteration loop overhead (op issue on a
+        # few-KB working set) dominates this stage otherwise.
+        UNROLL = 16
+        a_pad = -(-a_max // UNROLL) * UNROLL
+        if a_pad != a_max:
+            padw = ((0, 0), (0, a_pad - a_max))
+            s_start_c = jnp.pad(s_start, padw)
+            s_end_c = jnp.pad(s_end, padw)
+            s_valid_c = jnp.pad(s_valid, padw)
+        else:
+            s_start_c, s_end_c, s_valid_c = s_start, s_end, s_valid
         limit = jnp.minimum(jnp.max(n_arcs), a_max).astype(jnp.int32)
 
         def claim_cond(st):
@@ -573,32 +590,38 @@ def _resolve_impl(
 
         def claim_step(st):
             a, mask, claimed_acc = st
-            stt = jax.lax.dynamic_index_in_dim(s_start, a, axis=1, keepdims=False)
-            en = jax.lax.dynamic_index_in_dim(s_end, a, axis=1, keepdims=False)
-            vd = jax.lax.dynamic_index_in_dim(s_valid, a, axis=1, keepdims=False)
-            q1 = jnp.clip(stt, 0, N)
-            q2 = jnp.clip(en + 1, 0, N)
-            free1 = ~bit_at(mask, q1)
-            free2 = (en + 1 >= lengths) | ~bit_at(mask, q2)
-            claim = vd & free1 & free2
-            lo = jnp.clip(stt[:, None] + 1 - 32 * warange, 0, 32)
-            hi = jnp.clip(en[:, None] + 1 - 32 * warange, 0, 32)
-            bits = subm(hi) & ~subm(lo)
-            mask = jnp.where(claim[:, None], mask | bits, mask)
-            claimed_acc = jax.lax.dynamic_update_index_in_dim(
-                claimed_acc, claim, a, axis=1
+            stt8 = jax.lax.dynamic_slice(s_start_c, (0, a * UNROLL), (B, UNROLL))
+            en8 = jax.lax.dynamic_slice(s_end_c, (0, a * UNROLL), (B, UNROLL))
+            vd8 = jax.lax.dynamic_slice(s_valid_c, (0, a * UNROLL), (B, UNROLL))
+            claim8 = []
+            for u in range(UNROLL):
+                stt, en, vd = stt8[:, u], en8[:, u], vd8[:, u]
+                q1 = jnp.clip(stt, 0, N)
+                q2 = jnp.clip(en + 1, 0, N)
+                free1 = ~bit_at(mask, q1)
+                free2 = (en + 1 >= lengths) | ~bit_at(mask, q2)
+                claim = vd & free1 & free2
+                lo = jnp.clip(stt[:, None] + 1 - 32 * warange, 0, 32)
+                hi = jnp.clip(en[:, None] + 1 - 32 * warange, 0, 32)
+                bits = subm(hi) & ~subm(lo)
+                mask = jnp.where(claim[:, None], mask | bits, mask)
+                claim8.append(claim)
+            claimed_acc = jax.lax.dynamic_update_slice(
+                claimed_acc, jnp.stack(claim8, axis=1), (0, a * UNROLL)
             )
             return (a + 1, mask, claimed_acc)
 
+        limit = (limit + UNROLL - 1) // UNROLL
         _, int_mask, claimed = jax.lax.while_loop(
             claim_cond,
             claim_step,
             (
                 jnp.int32(0),
                 jnp.zeros((B, W), jnp.uint32),
-                jnp.zeros((B, a_max), bool),
+                jnp.zeros((B, a_pad), bool),
             ),
         )
+        claimed = claimed[:, :a_max]
 
     if _phase == "claim":
         return _phase_out(
@@ -694,11 +717,16 @@ def _resolve_impl(
     out_ends = emit_compact(grid_tos, 0)
     counts = jnp.sum(tok_here, axis=1).astype(jnp.int32)
 
-    fallback = jnp.any(slot_overflow & valid, axis=1) | arc_overflow | anomaly
+    fallback = (
+        jnp.any(slot_overflow & valid, axis=1)
+        | arc_overflow
+        | anomaly
+        | fallback_extra
+    )
     return out_ids, out_starts, out_ends, counts, fallback
 
 
-bpe_walk = jax.jit(_walk_impl)
+bpe_walk = jax.jit(_walk_impl, static_argnames=("lw", "bounded"))
 bpe_resolve = jax.jit(_resolve_impl, static_argnames=("a_max",))
 
 
@@ -709,6 +737,8 @@ def bpe_segment(
     lengths: jax.Array,  # int32 (B,)
     unk_id: jax.Array,  # int32 scalar
     a_max: int,
+    lw: int | None = None,  # static walk-depth cap (unit-length class)
+    bounded: bool = False,
 ):
     """Returns (ids, starts, ends, counts, fallback) — see module docstring.
 
@@ -721,10 +751,9 @@ def bpe_segment(
     dispatch->host-read timings are trusted now — see bench.py.)  Two
     back-to-back jit dispatches cost little and keep compiles sane.
     """
-    count, m_pack, m_rank, slot_overflow = bpe_walk(
-        tables, x_iw, is_spm, lengths
+    m_pack, m_rank, slot_overflow = bpe_walk(
+        tables, x_iw, is_spm, lengths, lw=lw, bounded=bounded
     )
     return bpe_resolve(
-        tables, count, m_pack, m_rank, slot_overflow, is_spm, lengths,
-        unk_id, a_max,
+        tables, m_pack, m_rank, slot_overflow, is_spm, lengths, unk_id, a_max
     )

@@ -8,9 +8,17 @@ a -100000 arc of length 1 that merges with a preceding unknown run; backtrace
 from the last position.
 
 TPU formulation:
-  WALK      — same lockstep comb-table walk as BPE, but matches are recorded
-              by (end, length) — each (start, length) pair is unique, so a
-              dense (B, N, L) grid holds every arc with no overflow.
+  WALK      — lockstep Mealy walk, UNROLLED over depth (a lax.while_loop
+              iteration re-stages its loop-invariant tables on the tunneled
+              backend, tripling the cost of each step).  When the automaton
+              is small enough, transitions come from a DENSE packed table
+              (state × alphabet -> (ow, next, final) in ONE int32), so a
+              step costs one transition gather plus one score gather —
+              row gathers at ~9 ns/element are the kernel's cost unit, so
+              gather COUNT is everything.  Token ids are not touched during
+              the walk at all: the walk records the Mealy key (= sum of
+              Ows); ids are resolved with one gather per document after the
+              backtrace has picked the winning arcs.
   DP        — one scan over positions; carry is a ring buffer of the last L
               best scores (df64 pairs) per document.  Candidate order inside
               a step reproduces the reference's ascending-start iteration.
@@ -36,6 +44,11 @@ INT32_MAX = np.int32(2**31 - 1)
 UNK_SCORE = np.float32(-100000.0)
 NEG_INF = np.float32(-3.4028235e38)  # -FLT_MAX: reference initial best score
 
+# dense transition table limits: (ow << 16) | ((next + 1) << 1) | final
+_DENSE_MAX_ENTRIES = 16 << 20  # 64 MB of int32
+_DENSE_MAX_STATE = (1 << 15) - 2
+_DENSE_MAX_OW = (1 << 15) - 1
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -47,14 +60,41 @@ class UnigramDeviceTables:
     final: jax.Array
     ids_tab: jax.Array  # int32[nkeys]
     scores_tab: jax.Array  # float32[nkeys]
+    dense: jax.Array | None  # int32[n_states * A] packed, or None
     n_slots: int = field(metadata=dict(static=True))
     max_len: int = field(metadata=dict(static=True))
     id_offset: int = field(metadata=dict(static=True))
+    n_iws: int = field(metadata=dict(static=True), default=0)
 
 
 def make_device_tables(
     table: CombTable, ids: np.ndarray, scores: np.ndarray, max_len: int, id_offset: int
 ) -> UnigramDeviceTables:
+    dense = None
+    n_states = int(table.base.shape[0])
+    A = int(table.n_iws)
+    ow_np = np.asarray(table.ow)
+    ow_max = int(ow_np.max(initial=0))
+    if (
+        n_states * A <= _DENSE_MAX_ENTRIES
+        and n_states <= _DENSE_MAX_STATE
+        and ow_max <= _DENSE_MAX_OW
+    ):
+        d = np.zeros(n_states * A, np.int32)
+        occ = np.flatnonzero(np.asarray(table.owner) >= 0)
+        owner = np.asarray(table.owner)[occ]
+        iw = occ - np.asarray(table.base)[owner]
+        keep = (iw >= 0) & (iw < A)
+        occ, owner, iw = occ[keep], owner[keep], iw[keep]
+        nxt = np.asarray(table.nxt)[occ]
+        fin = np.where(nxt >= 0, np.asarray(table.final)[np.maximum(nxt, 0)], False)
+        val = (
+            (ow_np[occ].astype(np.int32) << 16)
+            | ((nxt.astype(np.int32) + 1) << 1)
+            | fin.astype(np.int32)
+        )
+        d[owner * A + iw] = np.where(nxt >= 0, val, 0)
+        dense = jnp.asarray(d)
     return UnigramDeviceTables(
         base=jnp.asarray(table.base, jnp.int32),
         owner=jnp.asarray(table.owner, jnp.int32),
@@ -63,9 +103,11 @@ def make_device_tables(
         final=jnp.asarray(table.final),
         ids_tab=jnp.asarray(ids, jnp.int32),
         scores_tab=jnp.asarray(scores, jnp.float32),
+        dense=dense,
         n_slots=table.n_slots,
         max_len=max_len,
         id_offset=id_offset,
+        n_iws=A,
     )
 
 
@@ -86,53 +128,55 @@ def unigram_segment(
     x_pad = jnp.pad(x_iw, ((0, 0), (0, L + 1)), constant_values=-1)
 
     # ------------------------------------------------------------------ WALK
-    # match at (start p, depth d) covers [p, p+d]; store by (p, d)
-    def walk_cond(st):
-        d, state, *_ = st
-        return (d < L) & jnp.any(state >= 0)
-
-    def walk_body(st):
-        d, state, sum_ow, m_id, m_score, has = st
-        c = jax.lax.dynamic_slice(x_pad, (0, d), (B, N))
-        s_safe = jnp.maximum(state, 0)
-        slot = jnp.clip(tables.base[s_safe] + jnp.maximum(c, 0), 0, tables.n_slots - 1)
-        hit = (tables.owner[slot] == state) & (state >= 0) & (c >= 0)
-        ns = jnp.where(hit, tables.nxt[slot], -1)
-        sum_ow = sum_ow + jnp.where(hit, tables.ow[slot], 0)
-        fin = (ns >= 0) & tables.final[jnp.maximum(ns, 0)]
+    # unrolled; match at (start p, depth d) covers [p, p+d]; stored by (d, p)
+    state = jnp.where(valid & (x_iw >= 0), 0, -1).astype(jnp.int32)
+    sum_ow = jnp.zeros((B, N), jnp.int32)
+    keys_d = []  # Mealy key (vocab entry index) per depth, -1 = no match
+    scores_d = []
+    use_dense = tables.dense is not None
+    A = tables.n_iws
+    for d in range(L):
+        c = x_pad[:, d : d + N]
+        if use_dense:
+            flat = jnp.clip(
+                jnp.maximum(state, 0) * A + jnp.maximum(c, 0),
+                0,
+                tables.dense.shape[0] - 1,
+            )
+            e = jnp.where((state >= 0) & (c >= 0), tables.dense[flat], 0)
+            ns = ((e >> 1) & 0x7FFF) - 1
+            sum_ow = sum_ow + jnp.where(e != 0, e >> 16, 0)
+            fin = (e & 1) == 1
+        else:
+            s_safe = jnp.maximum(state, 0)
+            slot = jnp.clip(
+                tables.base[s_safe] + jnp.maximum(c, 0), 0, tables.n_slots - 1
+            )
+            hit = (tables.owner[slot] == state) & (state >= 0) & (c >= 0)
+            ns = jnp.where(hit, tables.nxt[slot], -1)
+            sum_ow = sum_ow + jnp.where(hit, tables.ow[slot], 0)
+            fin = (ns >= 0) & tables.final[jnp.maximum(ns, 0)]
         key = jnp.clip(sum_ow, 0, nkeys - 1)
-        m_id = jax.lax.dynamic_update_index_in_dim(
-            m_id, jnp.where(fin, tables.ids_tab[key], -1), d, axis=2
+        keys_d.append(jnp.where(fin, key, -1))
+        scores_d.append(
+            jnp.where(fin, tables.scores_tab[key], NEG_INF)
         )
-        m_score = jax.lax.dynamic_update_index_in_dim(
-            m_score, jnp.where(fin, tables.scores_tab[key], NEG_INF), d, axis=2
-        )
-        has = has | fin
-        return (d + 1, ns, sum_ow, m_id, m_score, has)
+        state = ns
+    m_key = jnp.stack(keys_d, axis=2)  # (B, N, L) by (start, depth)
+    m_score = jnp.stack(scores_d, axis=2)
+    has_match = jnp.any(m_key >= 0, axis=2)
 
-    init_state = jnp.where(valid & (x_iw >= 0), 0, -1).astype(jnp.int32)
-    st0 = (
-        jnp.int32(0),
-        init_state,
-        jnp.zeros((B, N), jnp.int32),
-        jnp.full((B, N, L), -1, jnp.int32),
-        jnp.full((B, N, L), NEG_INF, jnp.float32),
-        jnp.zeros((B, N), bool),
-    )
-    _, _, _, m_id, m_score, has_match = jax.lax.while_loop(walk_cond, walk_body, st0)
-
-    # re-index arcs by END: end_id[b, e, d] = arc starting at e-d of length d+1
-    def roll_d(a):
+    # re-index arcs by END: end_*[b, e, d] = arc starting at e-d of length d+1
+    def roll_d(a, fill):
         cols = [jnp.roll(a[:, :, d], d, axis=1) for d in range(L)]
-        return jnp.stack(cols, axis=2)
+        r = jnp.stack(cols, axis=2)
+        dgrid = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+        ok = pos[None, :, None] - dgrid >= 0
+        return jnp.where(ok, r, fill)
 
-    end_id = roll_d(m_id)
-    end_score = roll_d(m_score)
-    # mask arcs whose start wrapped around / is before 0
-    dgrid = jnp.arange(L, dtype=jnp.int32)[None, None, :]
-    arc_ok = (pos[None, :, None] - dgrid >= 0) & (end_id >= 0)
-    end_id = jnp.where(arc_ok, end_id, -1)
-    end_score = jnp.where(arc_ok, end_score, NEG_INF)
+    end_key = roll_d(m_key, -1)
+    end_score = jnp.where(end_key >= 0, roll_d(m_score, NEG_INF), NEG_INF)
+    end_ok = end_key >= 0
 
     # -------------------------------------------------------------------- DP
     # candidates per end position, in reference relaxation order:
@@ -142,16 +186,15 @@ def unigram_segment(
 
     def dp_step(carry, inp):
         # ring: best df64 for positions e-L .. e-1 (ring[k] = best[e-1-k])
-        ring_hi, ring_lo, prev_id, prev_begin = carry
-        e, eid, esc, unk_here, vald = inp
+        ring_hi, ring_lo, prev_unk, prev_begin = carry
+        e, eok, esc, unk_here, vald = inp
         # prev best for depth d arc: best[e-d-1] = ring[d]; e-d-1 < 0 -> 0
         darange = jnp.arange(L, dtype=jnp.int32)[None, :]
         base_hi = jnp.where(e - darange - 1 >= 0, ring_hi, 0.0)  # (B, L)
         base_lo = jnp.where(e - darange - 1 >= 0, ring_lo, 0.0)
         c_hi, c_lo = df_add(base_hi, base_lo, esc)  # (B, L)
-        arc_valid = eid >= 0
-        c_hi = jnp.where(arc_valid, c_hi, NEG_INF)
-        c_lo = jnp.where(arc_valid, c_lo, 0.0)
+        c_hi = jnp.where(eok, c_hi, NEG_INF)
+        c_lo = jnp.where(eok, c_lo, 0.0)
         # unknown candidate: start == e, score -1e5 + best[e-1]
         u_hi, u_lo = df_add(
             jnp.where(e >= 1, ring_hi[:, 0], 0.0),
@@ -163,7 +206,6 @@ def unigram_segment(
 
         cand_hi = jnp.concatenate([c_hi[:, rev], u_hi[:, None]], axis=1)  # (B, L+1)
         cand_lo = jnp.concatenate([c_lo[:, rev], u_lo[:, None]], axis=1)
-        cand_id = jnp.concatenate([eid[:, rev], jnp.full((B, 1), -1, jnp.int32)], axis=1)
         cand_d = jnp.concatenate(
             [
                 jnp.broadcast_to(darange[:, rev], (B, L)),
@@ -181,11 +223,11 @@ def unigram_segment(
 
         w_hi = jnp.take_along_axis(cand_hi, winner[:, None], 1)[:, 0]
         w_lo = jnp.take_along_axis(cand_lo, winner[:, None], 1)[:, 0]
-        w_id = jnp.take_along_axis(cand_id, winner[:, None], 1)[:, 0]
+        w_unk = winner == L  # the unknown candidate slot
         w_d = jnp.take_along_axis(cand_d, winner[:, None], 1)[:, 0]
         begin = e - w_d
         # unknown-run merge (…_1best_t.h:166-169)
-        merge = (w_id == -1) & (e > 0) & (prev_id == -1)
+        merge = w_unk & (e > 0) & prev_unk
         begin = jnp.where(merge, prev_begin, begin)
 
         # positions beyond doc length: keep ring shifting but scores at -inf
@@ -194,24 +236,24 @@ def unigram_segment(
 
         ring_hi = jnp.concatenate([w_hi[:, None], ring_hi[:, :-1]], axis=1)
         ring_lo = jnp.concatenate([w_lo[:, None], ring_lo[:, :-1]], axis=1)
-        return (ring_hi, ring_lo, w_id, begin), (w_id, begin)
+        return (ring_hi, ring_lo, w_unk, begin), (w_unk, begin)
 
     unk_start = ~has_match & valid
     carry0 = (
         jnp.full((B, L), NEG_INF, jnp.float32),
         jnp.zeros((B, L), jnp.float32),
-        jnp.full((B,), -2, jnp.int32),
+        jnp.zeros((B,), bool),
         jnp.zeros((B,), jnp.int32),
     )
     xs = (
         pos,
-        jnp.moveaxis(end_id, 1, 0),
+        jnp.moveaxis(end_ok, 1, 0),
         jnp.moveaxis(end_score, 1, 0),
         unk_start.T,
         valid.T,
     )
-    _, (ids_t, begin_t) = jax.lax.scan(dp_step, carry0, xs)
-    best_id = ids_t.T  # (B, N)
+    _, (unk_t, begin_t) = jax.lax.scan(dp_step, carry0, xs)
+    best_unk = unk_t.T  # (B, N): winning arc at end e is the unknown arc
     best_begin = begin_t.T
 
     # ------------------------------------------------------------- BACKTRACE
@@ -228,6 +270,20 @@ def unigram_segment(
     )
     emit = emit_t[rev].T & valid  # (B, N) marks segment END positions
 
+    # token ids: ONE deferred gather for the winning arcs only — the walk
+    # never materializes per-arc ids.  Winner at end e spans [begin, e]:
+    # its Mealy key sits at m_key[b, begin, e - begin].
+    w_d = jnp.clip(pos[None, :] - best_begin, 0, L - 1)
+    flat = (
+        jnp.arange(B, dtype=jnp.int32)[:, None] * (N * L)
+        + jnp.clip(best_begin, 0, N - 1) * L
+        + w_d
+    )
+    w_key = m_key.reshape(-1)[flat]  # (B, N)
+    w_id = jnp.where(
+        best_unk, unk_id, tables.ids_tab[jnp.clip(w_key, 0, nkeys - 1)]
+    )
+
     # left-compaction via prefix sum + scatter (sorts are expensive on TPU)
     out_slot = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
     flat_o = jnp.where(
@@ -243,7 +299,6 @@ def unigram_segment(
 
     out_ends = emit_compact(jnp.broadcast_to(pos[None, :], (B, N)), 0)
     out_starts = emit_compact(best_begin, 0)
-    raw_id = emit_compact(best_id, 0)
-    out_ids = jnp.where(raw_id == -1, unk_id, raw_id) + tables.id_offset
+    out_ids = emit_compact(w_id, 0) + tables.id_offset
     counts = jnp.sum(emit, axis=1).astype(jnp.int32)
     return out_ids, out_starts, out_ends, counts

@@ -55,7 +55,7 @@ class ShardedBpeRunner:
         a_max = self.tok.a_max
 
         # Two separate jit programs, like ops/bpe.bpe_segment: compiling the
-        # match-walk while_loop together with its consumers makes XLA pick
+        # match walk together with its consumers makes XLA pick
         # pathological layouts and ~30x compile times.  Data-parallel shardings
         # propagate from the inputs through both programs (GSPMD), so the
         # walk outputs stay on their shards with no resharding in between.
@@ -70,9 +70,9 @@ class ShardedBpeRunner:
                 self._rep_sh,  # checksum
             ),
         )
-        def resolve(count, m_pack, m_rank, slot_ov, is_spm, lengths, unk_id):
+        def resolve(m_pack, m_rank, slot_ov, is_spm, lengths, unk_id):
             ids, _st, _en, counts, _fb = bpe_ops._resolve_impl(
-                tables, count, m_pack, m_rank, slot_ov, is_spm, lengths,
+                tables, m_pack, m_rank, slot_ov, is_spm, lengths,
                 unk_id, a_max,
             )
             # global statistics: XLA inserts the cross-shard reductions
@@ -86,10 +86,8 @@ class ShardedBpeRunner:
             return ids, counts, total, checksum
 
         def step(x_iw, is_spm, lengths, unk_id):
-            count, m_pack, m_rank, slot_ov = walk(x_iw, is_spm, lengths)
-            return resolve(
-                count, m_pack, m_rank, slot_ov, is_spm, lengths, unk_id
-            )
+            m_pack, m_rank, slot_ov = walk(x_iw, is_spm, lengths)
+            return resolve(m_pack, m_rank, slot_ov, is_spm, lengths, unk_id)
 
         return step
 

@@ -54,6 +54,7 @@ PACK_ROWS = 512  # rows per dispatch (fixed shape -> one compile per kernel)
 # throughput-bound at 2048).
 ROW_BUCKETS = (128, 512, 2048)
 ID_SHIFT = 21  # compact lane layout: (id + 1) | (start << ID_SHIFT)
+SHORT_LW = 16  # walk depth for packed-row region A (= prep.cpp BTL_SHORT_LW)
 
 
 @dataclass
@@ -257,7 +258,8 @@ class UnitRunner:
             and n_ids + abs(tok.seg.id_offset) + 2 < (1 << ID_SHIFT)
         )
 
-    def _kernel(self, xd, ld, unk_id):
+    def _kernel(self, xd, ld, unk_id, lw: int | None = None,
+                bounded: bool = False):
         """One fixed-shape device pass over packed unit rows."""
         import jax.numpy as jnp
 
@@ -266,7 +268,7 @@ class UnitRunner:
         if tok.is_bpe:
             ids, st, _en, counts, fb = bpe_ops.bpe_segment(
                 tok.tables, xd, derive_spm(xd, self.spm_iw), ld,
-                jnp.int32(unk_id), tok.a_max,
+                jnp.int32(unk_id), tok.a_max, lw=lw, bounded=bounded,
             )
         else:
             from ..ops import unigram as uni_ops
@@ -284,10 +286,14 @@ class UnitRunner:
 
         _ds, _po, pack_out_compact = _helpers()
         N = self.tok.n_doc
-        for b in buckets:
+        variants = [(b, SHORT_LW, True) for b in buckets]
+        variants += [(b, None, False) for b in buckets]
+        for b, lw, bounded in variants:
             bx = np.full((b, N), -1, np.int32)
             bl = np.zeros(b, np.int32)
-            ids, st, counts, fb = self._kernel(jnp.asarray(bx), jnp.asarray(bl), unk_id)
+            ids, st, counts, fb = self._kernel(
+                jnp.asarray(bx), jnp.asarray(bl), unk_id, lw=lw, bounded=bounded
+            )
             np.asarray(pack_out_compact(ids, st, counts, fb))
 
     # ---------------------------------------------------------------- native
@@ -310,24 +316,35 @@ class UnitRunner:
             tok.seg.use_raw_bytes, tok.seg.no_dummy_prefix, tok.seg.charmap,
         )
         pending = []  # (actual_rows, device handle)
-        lo = 0
-        for b in _row_chunks(nu.n_rows):
-            n = min(b, max(nu.n_rows - lo, 0))
-            bx = np.full((b, N), -1, np.int32)
-            blen = np.zeros(b, np.int32)
-            if n:
-                bx[:n] = nu.px[lo : lo + n]
-                blen[:n] = nu.plen[lo : lo + n]
-            ids, st, counts, fb = self._kernel(
-                jnp.asarray(bx), jnp.asarray(blen), unk_id
-            )
-            h = pack_out_compact(ids, st, counts, fb)
-            try:
-                h.copy_to_host_async()
-            except Exception:
-                pass  # backends without async d2h: the read below blocks
-            pending.append((n, h))
-            lo += n
+        # region A rows hold only short SPM-initial units: the short
+        # unrolled walk is exact there (bounded by the unit length);
+        # region B rows get the full-depth walk
+        parts = [
+            (0, nu.split_rows, SHORT_LW, True),
+            (nu.split_rows, nu.n_rows, None, False),
+        ]
+        for plo, phi, lw, bounded in parts:
+            if phi <= plo:
+                continue
+            lo = plo
+            for b in _row_chunks(phi - plo):
+                n = min(b, max(phi - lo, 0))
+                bx = np.full((b, N), -1, np.int32)
+                blen = np.zeros(b, np.int32)
+                if n:
+                    bx[:n] = nu.px[lo : lo + n]
+                    blen[:n] = nu.plen[lo : lo + n]
+                ids, st, counts, fb = self._kernel(
+                    jnp.asarray(bx), jnp.asarray(blen), unk_id,
+                    lw=lw, bounded=bounded,
+                )
+                h = pack_out_compact(ids, st, counts, fb)
+                try:
+                    h.copy_to_host_async()
+                except Exception:
+                    pass  # backends without async d2h: the read below blocks
+                pending.append((n, h))
+                lo += n
         return nu, pending
 
     def collect_docs(self, state):
