@@ -110,9 +110,22 @@ class TokenizerHandle:
 
     def _device_wp(self):
         if self._wp_dev is None and self.model.wbd is not None:
-            from .runtime.lexer_host import WordPieceTpu
+            # production path: native level-0 + device sub-token pass over
+            # unique words (runtime/wp_hybrid.py); the pure-device span
+            # orchestrator remains as fallback for models the hybrid's
+            # pack-safety precheck rejects
+            try:
+                from .runtime.wp_hybrid import WordPieceHybrid
 
-            self._wp_dev = WordPieceTpu(self.model)
+                wp = WordPieceHybrid(self.model)
+                if wp.available():
+                    self._wp_dev = wp
+            except Exception:
+                pass
+            if self._wp_dev is None:
+                from .runtime.lexer_host import WordPieceTpu
+
+                self._wp_dev = WordPieceTpu(self.model)
         return self._wp_dev
 
     # -- TextToIds family --------------------------------------------------

@@ -1702,6 +1702,320 @@ int IdsToText(void* h, const int32_t* ids, const int count, char* out,
 
 }  // extern "C"
 
+// ---------------------------------------------------------------------------
+// WordPiece hybrid batch (TPU production path for bert-class models).
+//
+// The host runs the LEVEL-0 [wbd] scan only (words/ignores; sub-token
+// functions are NOT recursed), interning each function span (typically a
+// word — Zipf-repeated) once per batch.  The device then tokenizes the
+// UNIQUE spans in dense packed rows, and BtlWpStitch writes flat per-doc
+// ids from the device output.  Mirrors the unique-unit pipeline of
+// native/prep.cpp for the [pos-dict] family.
+
+struct WpBatch {
+    int n_docs = 0;
+    std::vector<int32_t> u_syms;     // concatenated guarded+folded span cps
+    std::vector<int32_t> u_soff;     // (U+1)
+    std::vector<int32_t> u_fn;       // fn id per unique span
+    std::vector<int32_t> inst_unit;  // -1 = WORD without runnable fn -> unk
+    std::vector<int64_t> doc_inst_off;  // (B+1)
+    std::vector<uint8_t> status;     // 0 ok / 1 invalid / 2 fallback
+    std::vector<int64_t> tab;
+    int64_t mask = 0;
+    int64_t total_cps = 0;
+};
+
+static uint64_t wp_hash(int fn, const int32_t* s, int len) {
+    uint64_t h = ((uint64_t)fn << 32) ^ ((uint64_t)len * 0x9E3779B97F4A7C15ull);
+    for (int i = 0; i < len; ++i)
+        h = (h ^ (uint64_t)(uint32_t)s[i]) * 0x100000001B3ull;
+    return h ^ (h >> 29);
+}
+
+static void wp_rehash(WpBatch* st, int64_t cap) {
+    st->tab.assign(cap, -1);
+    st->mask = cap - 1;
+    int U = (int)st->u_soff.size() - 1;
+    for (int u = 0; u < U; ++u) {
+        uint64_t h = wp_hash(st->u_fn[u], st->u_syms.data() + st->u_soff[u],
+                             st->u_soff[u + 1] - st->u_soff[u]) & st->mask;
+        while (st->tab[h] >= 0) h = (h + 1) & st->mask;
+        st->tab[h] = u;
+    }
+}
+
+static int32_t wp_intern(WpBatch* st, int fn, const int32_t* s, int len) {
+    if ((int64_t)st->u_soff.size() * 2 + 2 > st->mask)
+        wp_rehash(st, (st->mask + 1) * 2);
+    uint64_t h = wp_hash(fn, s, len) & st->mask;
+    while (true) {
+        int64_t u = st->tab[h];
+        if (u < 0) break;
+        int ulen = st->u_soff[u + 1] - st->u_soff[u];
+        if (ulen == len && st->u_fn[u] == fn &&
+            memcmp(st->u_syms.data() + st->u_soff[u], s, (size_t)len * 4) == 0)
+            return (int32_t)u;
+        h = (h + 1) & st->mask;
+    }
+    int32_t u = (int32_t)st->u_soff.size() - 1;
+    st->u_syms.insert(st->u_syms.end(), s, s + len);
+    st->u_soff.push_back((int32_t)st->u_syms.size());
+    st->u_fn.push_back(fn);
+    st->tab[h] = u;
+    return u;
+}
+
+// level-0 scan of one document (lex_process_int semantics at rec_depth=1,
+// once=false), recording WORD instances instead of recursing into functions.
+// Returns false when the document must take the full native path.
+static bool wp_scan_doc(const WbdModel& w, WpBatch* st,
+                        const std::vector<int>& cps, int max_unit) {
+    int in_size = (int)cps.size();
+    const int* seq = cps.data();
+    std::vector<int32_t> folded;
+    int from_pos = -1;
+    while (from_pos < in_size) {
+        int state = 0;
+        int final_state = -1, final_pos = -1;
+        int j = from_pos;
+        int length_bound = std::min(from_pos + w.max_token_length, in_size);
+        if (j == -1) {
+            state = w.aut.dest(0, IW_L_ANCHOR);
+            if (state == -1) {
+                state = w.aut.dest(0, IW_ANY);
+                if (state == -1) { from_pos += 1; continue; }
+            }
+            j += 1;
+        }
+        while (j < length_bound) {
+            int iw = seq[j];
+            if (iw < IW_EPSILON) iw = IW_EPSILON;
+            if (w.ignore_case) iw = fold_lower(iw);
+            int dst = w.dest_any(state, iw);
+            if (dst == -1) break;
+            if (dst >= 0 && w.aut.final_[dst]) { final_state = dst; final_pos = j; }
+            state = dst;
+            j += 1;
+        }
+        if (j == in_size) {
+            int dst = w.aut.dest(state, IW_R_ANCHOR);
+            if (dst == -1) dst = w.aut.dest(state, IW_ANY);
+            if (dst != -1 && dst >= 0 && w.aut.final_[dst]) {
+                final_state = dst;
+                final_pos = j;
+            }
+        }
+        if (final_pos != -1) {
+            int ow = w.aut.moore_ow[final_state];
+            auto it = w.acts.find(ow);
+            if (it == w.acts.end() || it->second.size() < 3) return true;
+            const std::vector<int>& act = it->second;
+            int left_cx = act[0], right_cx = act[1], tag = act[2];
+            int from2 = std::min(std::max(from_pos + left_cx, 0), in_size - 1);
+            int to2 = std::min(std::max(final_pos - right_cx, 0), in_size - 1);
+            size_t fn_idx = tag != 0 ? 4 : 3;
+            int n_fns = (int)act.size() - (int)fn_idx;
+            if (n_fns > 1) return false;  // multi-fn actions: full native path
+            if (tag == WBD_WORD_TAG) {
+                int fn = n_fns == 1 ? act[fn_idx] : -1;
+                int fini = (fn >= 0 && fn < (int)w.fn2ini.size())
+                               ? w.fn2ini[fn] : -1;
+                if (fn >= 0 && fini >= 0 && w.max_depth >= 2) {
+                    int len = to2 - from2 + 1;
+                    if (len > max_unit) return false;  // oversize word
+                    folded.resize(len);
+                    for (int q = 0; q < len; ++q) {
+                        int iw = seq[from2 + q];
+                        if (iw < IW_EPSILON) iw = IW_EPSILON;
+                        if (w.ignore_case) iw = fold_lower(iw);
+                        folded[q] = iw;
+                    }
+                    st->inst_unit.push_back(
+                        wp_intern(st, fn, folded.data(), len));
+                    st->total_cps += len;
+                } else {
+                    st->inst_unit.push_back(-1);  // WORD with no fn -> unk
+                }
+            }
+            // non-WORD tags (XWORD/SEG/IGNORE/pure-fn) contribute no ids
+            // (blingfiretokdll.cpp:1210-1311 skips them at the top level)
+            if (final_pos - right_cx > from_pos)
+                from_pos = final_pos - right_cx;
+        }
+        from_pos += 1;
+    }
+    return true;
+}
+
+extern "C" {
+
+// out_counts: [0]=U unique spans, [1]=len(u_syms), [2]=I instances,
+//             [3]=output-id capacity bound
+void* BtlWpAnalyze(void* model, const char* docs, const int64_t* doc_off,
+                   int n_docs, int max_unit, int64_t* out_counts) {
+    ModelData* md = (ModelData*)model;
+    if (!md || !md->has_wbd) return nullptr;
+    const WbdModel& w = md->wbd;
+    WpBatch* st = new WpBatch();
+    st->n_docs = n_docs;
+    st->status.assign(n_docs, 0);
+    st->doc_inst_off.assign(n_docs + 1, 0);
+    st->u_soff.assign(1, 0);
+    wp_rehash(st, 1 << 14);
+
+    std::vector<int> cps, offs;
+    for (int d = 0; d < n_docs; ++d) {
+        st->doc_inst_off[d] = (int64_t)st->inst_unit.size();
+        const uint8_t* p = (const uint8_t*)docs + doc_off[d];
+        int n = (int)(doc_off[d + 1] - doc_off[d]);
+        if (n <= 0) { st->status[d] = 1; continue; }
+        cps.clear(); offs.clear();
+        if (!utf8_decode(p, n, cps, offs) || (int)cps.size() == 0 ||
+            (int)cps.size() > n) {
+            st->status[d] = 1;
+            continue;
+        }
+        if (w.has_charmap) {
+            std::vector<int> norm, no;
+            charmap_normalize(w.charmap, cps, norm, no);
+            if ((int)norm.size() <= 0 || (int)norm.size() > n) {
+                st->status[d] = 1;
+                continue;
+            }
+            cps.swap(norm);
+        }
+        size_t mark = st->inst_unit.size();
+        if (!wp_scan_doc(w, st, cps, max_unit)) {
+            st->inst_unit.resize(mark);  // discard partial instances
+            st->status[d] = 2;
+        }
+    }
+    st->doc_inst_off[n_docs] = (int64_t)st->inst_unit.size();
+    out_counts[0] = (int64_t)st->u_soff.size() - 1;
+    out_counts[1] = (int64_t)st->u_syms.size();
+    out_counts[2] = (int64_t)st->inst_unit.size();
+    out_counts[3] = st->total_cps + (int64_t)st->inst_unit.size() + 16;
+    return st;
+}
+
+void BtlWpUnits(void* h, int32_t* u_syms, int32_t* u_soff, int32_t* u_fn) {
+    WpBatch* st = (WpBatch*)h;
+    memcpy(u_syms, st->u_syms.data(), st->u_syms.size() * 4);
+    memcpy(u_soff, st->u_soff.data(), st->u_soff.size() * 4);
+    memcpy(u_fn, st->u_fn.data(), st->u_fn.size() * 4);
+}
+
+// rows: (rows_n, stride) int32 device output; lane j < count holds
+// (tag+1) | from<<20 | to<<25 | nested<<30 in ROW coordinates; col
+// stride-2 = count, col stride-1 = reserved.  u_row/u_off give each unique
+// span's packed position.  Returns total ids written, -1 on cap overflow.
+int64_t BtlWpStitch(void* h, const int32_t* rows, int64_t rows_n, int stride,
+                    const int32_t* u_row, const int32_t* u_off, int unk_id,
+                    int32_t* out_ids, int64_t cap, int64_t* out_bounds,
+                    uint8_t* need_fb) {
+    WpBatch* st = (WpBatch*)h;
+    int U = (int)st->u_soff.size() - 1;
+    // per-unit sub-token resolution
+    std::vector<int32_t> u_ids_off(U + 1, 0);
+    std::vector<int32_t> u_ids;
+    u_ids.reserve(st->total_cps);
+    std::vector<uint8_t> u_fb(U, 0);
+    // units sorted by (row, off) so each row is walked once
+    std::vector<int32_t> order(U);
+    for (int u = 0; u < U; ++u) order[u] = u;
+    std::sort(order.begin(), order.end(), [&](int a, int b) {
+        if (u_row[a] != u_row[b]) return u_row[a] < u_row[b];
+        return u_off[a] < u_off[b];
+    });
+    std::vector<int32_t> tmp;
+    for (int oi = 0; oi < U; ++oi) {
+        int u = order[oi];
+        int r = u_row[u];
+        int off = u_off[u];
+        int ulen = st->u_soff[u + 1] - st->u_soff[u];
+        if (r >= rows_n) { u_fb[u] = 1; continue; }
+        const int32_t* row = rows + (int64_t)r * stride;
+        int cnt = row[stride - 2];
+        // lane format (ops/lexer.py::pack_lex_rows): (tag+1) in bits 0..16,
+        // row-local from in 17..23, to in 24..30, nested-fn flag in bit 31.
+        // Matches are start-ascending within the row; reproduce the
+        // reference tiling check (blingfiretokdll.cpp:1226-1279) in
+        // unit-relative coordinates.
+        tmp.clear();
+        bool nested = false;
+        int expected = 0;
+        bool broken = false;
+        for (int j = 0; j < cnt && j < stride - 2; ++j) {
+            int32_t v = row[j];
+            int f = (v >> 17) & 0x7F;
+            if (f < off || f >= off + ulen) continue;  // other unit's match
+            if (v < 0) nested = true;  // bit 31 = nested-fn flag
+            int tag = (v & 0x1FFFF) - 1;
+            int rt = ((v >> 24) & 0x7F) - off;
+            if (!broken && tag > WBD_IGNORE_TAG && f - off == expected) {
+                expected = rt + 1;
+                tmp.push_back(tag);
+            } else {
+                broken = true;
+            }
+        }
+        int sub_n = (int)tmp.size();
+        bool covered = (sub_n > 0) && (expected == ulen) && !broken;
+        if (nested) { u_fb[u] = 1; continue; }
+        if (covered) {
+            for (int k = 0; k < sub_n; ++k) u_ids.push_back(tmp[k]);
+        } else {
+            u_ids.push_back(unk_id);
+        }
+        u_ids_off[u + 1] = covered ? sub_n : 1;
+    }
+    // prefix-sum offsets (order[] walked out of unit order, so offsets are
+    // finalized afterwards by re-walking the u_ids stream in sorted order)
+    std::vector<int32_t> u_begin(U, 0), u_cnt(U, 0);
+    {
+        int64_t t = 0;
+        for (int oi = 0; oi < U; ++oi) {
+            int u = order[oi];
+            int c = u_ids_off[u + 1];
+            u_begin[u] = (int32_t)t;
+            u_cnt[u] = c;
+            t += c;
+        }
+    }
+    int64_t t = 0;
+    out_bounds[0] = 0;
+    for (int d = 0; d < st->n_docs; ++d) {
+        int64_t i0 = st->doc_inst_off[d], i1 = st->doc_inst_off[d + 1];
+        bool fb = st->status[d] == 2;
+        for (int64_t i = i0; !fb && i < i1; ++i) {
+            int32_t u = st->inst_unit[i];
+            if (u >= 0 && u_fb[u]) fb = true;
+        }
+        need_fb[d] = fb ? 1 : 0;
+        if (!fb && st->status[d] == 0) {
+            for (int64_t i = i0; i < i1; ++i) {
+                int32_t u = st->inst_unit[i];
+                if (u < 0) {
+                    if (t + 1 > cap) return -1;
+                    out_ids[t++] = unk_id;
+                } else {
+                    int c = u_cnt[u];
+                    if (t + c > cap) return -1;
+                    memcpy(out_ids + t, u_ids.data() + u_begin[u],
+                           (size_t)c * 4);
+                    t += c;
+                }
+            }
+        }
+        out_bounds[d + 1] = t;
+    }
+    return t;
+}
+
+void BtlWpFree(void* h) { delete (WpBatch*)h; }
+
+}  // extern "C"
+
 // optional micro-benchmark entry (build with -DBTF_BENCH_MAIN)
 #ifdef BTF_BENCH_MAIN
 int main(int argc, char** argv) {

@@ -174,3 +174,96 @@ def lexer_pass(
     )
     visited = vis_t.T & valid_start & has
     return visited, tag, from2, to2, fn
+
+
+@functools.partial(jax.jit, static_argnames=("lw",))
+def wp_subword_pass(
+    tables: LexerDeviceTables,
+    x: jax.Array,  # int32 (B, M): packed [L w1 R][L w2 R]… unit rows, -1 pad
+    init_lanes: jax.Array,  # int32 (B, M): per-lane initial state (unit's fn)
+    l_iw: jax.Array,  # int32 scalar: dense id of IW_L_ANCHOR
+    r_iw: jax.Array,  # int32 scalar: dense id of IW_R_ANCHOR
+    lw: int,  # static walk depth (>= longest unit + 2)
+):
+    """Sub-token pass over DENSELY PACKED unique word units.
+
+    Each unit carries its own L/R anchors, so one row holds many units; the
+    caller guarantees (host precheck) that the sub-grammar has no IW_ANY
+    transitions and cannot walk across an R anchor, so matches stay inside
+    their unit and the whole row shares one sequential visited-scan.
+
+    The depth loop is UNROLLED (see ops/bpe._walk_impl on while_loop
+    invariant re-staging) and skips the IW_ANY fallback lookup entirely —
+    one comb gather per step.
+
+    Returns (B, M+2) int32: lanes 0..M-1 = left-compacted matches packed as
+    (tag+1) | from<<17 | to<<24 | nested<<31 in row coordinates (the layout
+    BtlWpStitch consumes), col M = match count, col M+1 = reserved."""
+    B, M = x.shape
+    pos = jnp.arange(M, dtype=jnp.int32)
+    x_pad = jnp.pad(x, ((0, 0), (0, lw + 1)), constant_values=-1)
+
+    is_l = x == l_iw
+    valid_start = (x >= 0) & (x != r_iw)
+
+    state = jnp.where(valid_start, init_lanes, -1).astype(jnp.int32)
+    fin_pos = jnp.full((B, M), -1, jnp.int32)
+    fin_ow = jnp.full((B, M), -1, jnp.int32)
+    for d in range(lw):
+        c = x_pad[:, d : d + M]
+        s_safe = jnp.maximum(state, 0)
+        slot = jnp.clip(
+            tables.base[s_safe] + jnp.maximum(c, 0), 0, tables.n_slots - 1
+        )
+        hit = (tables.owner[slot] == state) & (state >= 0) & (c >= 0)
+        ns = jnp.where(hit, tables.nxt[slot], -1)
+        if d >= tables.max_token_length:
+            # letters beyond the token-length bound only via the R anchor
+            # (FALexTools_t.h:236-241)
+            ns = jnp.where(c == r_iw, ns, -1)
+        fin = (ns >= 0) & tables.final[jnp.maximum(ns, 0)]
+        fin_pos = jnp.where(fin, pos + d, fin_pos)
+        fin_ow = jnp.where(fin, tables.moore_ow[jnp.maximum(ns, 0)], fin_ow)
+        state = ns
+
+    right = tables.act_right[jnp.maximum(fin_ow, 0)]
+    tag = jnp.where(fin_ow >= 0, tables.act_tag[jnp.maximum(fin_ow, 0)], 0)
+    fn = jnp.where(fin_ow >= 0, tables.act_fn[jnp.maximum(fin_ow, 0)], -1)
+
+    # original (content) coordinates: ext - 1, except L-anchor starts which
+    # bind to their unit's first character (from_pos=-1 -> from2=0 in the
+    # reference, FALexTools_t.h:297-345)
+    from_orig = jnp.where(is_l, pos[None, :], pos[None, :] - 1)
+    fpos_orig = fin_pos - 1
+    from2 = jnp.clip(from_orig, 0, M - 1)
+    to2 = jnp.clip(fpos_orig - right, 0, M - 1)
+
+    has = fin_pos >= 0
+    skip_to = jnp.where(has, jnp.maximum(from_orig, fpos_orig - right), from_orig)
+
+    def scan_step(nv, inp):
+        q, skip_q = inp
+        vis = nv == q
+        nv = jnp.where(vis, skip_q + 1 + 1, nv)
+        return nv, vis
+
+    _, vis_t = jax.lax.scan(
+        scan_step, jnp.zeros(B, jnp.int32), (pos, skip_to.T)
+    )
+    visited = vis_t.T & valid_start & has
+
+    emit = visited & ((tag != 0) | (fn >= 0))
+    lane = (
+        (tag + 1)
+        | (from2 << 17)
+        | (to2 << 24)
+        | ((fn >= 0).astype(jnp.int32) << 31)
+    )
+    # left-compaction: stable sort by (emitted ? position : MAX)
+    key = jnp.where(emit, pos[None, :], INT32_MAX)
+    skey, svals = jax.lax.sort([key, lane], dimension=1, num_keys=1)
+    svals = jnp.where(skey != INT32_MAX, svals, 0)
+    counts = jnp.sum(emit, axis=1).astype(jnp.int32)
+    return jnp.concatenate(
+        [svals, counts[:, None], jnp.zeros((B, 1), jnp.int32)], axis=1
+    )

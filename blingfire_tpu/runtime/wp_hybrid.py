@@ -1,0 +1,388 @@
+"""WordPiece hybrid production path (bert-class [wbd] models).
+
+Division of labour mirroring the [pos-dict] unique-unit pipeline
+(native/prep.cpp + runtime/dedup.py):
+
+  C++   — per doc: UTF-8 decode, charmap normalize, LEVEL-0 lexer scan
+          (words/ignores; sub-token functions are NOT recursed), intern of
+          each function span — typically a word, Zipf-repeated — once per
+          batch (runtime.cpp::BtlWpAnalyze).
+  TPU   — the sub-token pass over UNIQUE words only, densely packed with
+          per-unit anchors into 128-wide rows (ops/lexer.py::wp_subword_pass);
+          one compact int32 output per chunk, d2h started asynchronously.
+  C++   — per-unit coverage check + flat per-doc id emission
+          (runtime.cpp::BtlWpStitch).
+
+Packing many words into one row is only sound when the sub-grammar cannot
+walk across an R anchor and has no IW_ANY transitions; `_fn_pack_safe`
+verifies both on the comb table at load.  Documents the hybrid cannot serve
+(oversize words, nested sub-functions, multi-function actions) fall back to
+the native C++ TextToIds — same semantics, host-only.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..formats.consts import Iw
+from ..models.loader import Model
+from ..ops import lexer as lexer_ops
+
+MAX_UNIT = 40  # longest word the device path handles (fallback beyond)
+LW_CLASSES = (16, MAX_UNIT)  # unit-length classes -> walk depth lw = len + 2
+ROW_W = 128
+ROW_BUCKETS = (128, 512, 2048)
+
+
+def _row_chunks(n_rows: int) -> list[int]:
+    top = ROW_BUCKETS[-1]
+    out = []
+    left = max(n_rows, 1)
+    while left > top:
+        out.append(top)
+        left -= top
+    for b in ROW_BUCKETS:
+        if left <= b:
+            out.append(b)
+            break
+    return out
+
+
+class WordPieceHybrid:
+    """Batched TextToIds for one WordPiece model, native+device hybrid."""
+
+    def __init__(self, model: Model, model_path: str | None = None):
+        from .. import native
+        from ..ops.tables import build_comb_table_cached
+        from .lexer import LexerEngine
+
+        assert model.wbd is not None
+        self.model = model
+        self.wbd = model.wbd
+        self.engine = LexerEngine(model.wbd)
+        self.comb = build_comb_table_cached(model.wbd.aut, model.source_key, "wbd")
+        self.tables = lexer_ops.make_device_tables(
+            self.comb,
+            model.wbd.aut.moore_ow,
+            model.wbd.acts,
+            model.wbd.max_token_length,
+        )
+        iw2iw = model.wbd.aut.iw2iw
+        assert iw2iw is not None
+        self._iw2iw = iw2iw
+        self._n_iws = self.comb.n_iws
+        self._l_iw = int(self._map_raw(np.array([Iw.L_ANCHOR], np.int32))[0])
+        self._r_iw = int(self._map_raw(np.array([Iw.R_ANCHOR], np.int32))[0])
+        self._rt = native.get_runtime()
+        self._nh = None
+        if self._rt is not None:
+            self._rt.BtlWpAnalyze.restype = ctypes.c_void_p
+            self._rt.BtlWpAnalyze.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ]
+            self._rt.BtlWpUnits.restype = None
+            self._rt.BtlWpUnits.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
+            self._rt.BtlWpStitch.restype = ctypes.c_int64
+            self._rt.BtlWpStitch.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            self._rt.BtlWpFree.restype = None
+            self._rt.BtlWpFree.argtypes = [ctypes.c_void_p]
+            if model_path is not None:
+                h = self._rt.LoadModel(model_path.encode())
+            else:
+                img = model.ldb.image
+                self._img_buf = ctypes.create_string_buffer(img, len(img))
+                h = self._rt.SetModel(self._img_buf, len(img))
+            self._nh = h if h else None
+        self._safe = self._nh is not None and self._fn_pack_safe()
+
+    def _map_raw(self, raw: np.ndarray) -> np.ndarray:
+        m = self._iw2iw
+        idx = np.clip(raw, 0, len(m) - 1)
+        v = np.where((raw >= 0) & (raw < len(m)), m[idx], -1)
+        return np.where(v < 0, self._n_iws, v).astype(np.int32)
+
+    def _fn_pack_safe(self) -> bool:
+        """Dense word packing + no-ANY walk are sound iff, over the states
+        reachable from the sub-function initial states: (a) no transition is
+        labelled IW_ANY, (b) every R-anchor destination is a dead end, and
+        (c) the tag ids fit the 17-bit lane field."""
+        comb = self.comb
+        inis = [s for s in self.engine.fn2ini[1:] if s is not None and s >= 0]
+        if not inis:
+            return False
+        if int(np.asarray(self.tables.act_tag).max(initial=0)) + 1 >= (1 << 17):
+            return False
+        any_iw = int(comb.sym2iw[0]) if len(comb.sym2iw) else -1
+        base = np.asarray(comb.base)
+        owner = np.asarray(comb.owner)
+        nxt = np.asarray(comb.nxt)
+        n_states = len(base)
+        seen = np.zeros(n_states, bool)
+        stack = list(dict.fromkeys(inis))
+        for s in stack:
+            seen[s] = True
+        occ = np.flatnonzero(owner >= 0)
+        occ_iw = occ - base[owner[occ]]
+        # state -> its occupied slots (grouped)
+        order = np.argsort(owner[occ], kind="stable")
+        so = owner[occ][order]
+        slot_sorted = occ[order]
+        iw_sorted = occ_iw[order]
+        row = np.searchsorted(so, np.arange(n_states + 1))
+        while stack:
+            s = stack.pop()
+            for k in range(row[s], row[s + 1]):
+                iw = int(iw_sorted[k])
+                d = int(nxt[slot_sorted[k]])
+                if d < 0:
+                    continue
+                if iw == any_iw and any_iw >= 0:
+                    return False
+                if iw == self._r_iw:
+                    # R destination must be a dead end
+                    if row[d] != row[d + 1]:
+                        return False
+                    continue
+                if not seen[d]:
+                    seen[d] = True
+                    stack.append(d)
+        return True
+
+    def available(self) -> bool:
+        return self._safe
+
+    # ------------------------------------------------------------------ run
+
+    def dispatch(self, docs_b: list[bytes]):
+        import jax.numpy as jnp
+
+        rt = self._rt
+        B = len(docs_b)
+        blob = b"".join(docs_b)
+        doc_off = np.zeros(B + 1, np.int64)
+        np.cumsum([len(d) for d in docs_b], out=doc_off[1:])
+        counts = np.zeros(4, np.int64)
+        h = rt.BtlWpAnalyze(
+            ctypes.c_void_p(self._nh), ctypes.c_char_p(blob),
+            doc_off.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(B),
+            ctypes.c_int(MAX_UNIT), counts.ctypes.data_as(ctypes.c_void_p),
+        )
+        assert h, "BtlWpAnalyze failed"
+        U, S, I, cap = (int(c) for c in counts)
+        u_syms = np.empty(max(S, 1), np.int32)
+        u_soff = np.empty(U + 1, np.int32)
+        u_fn = np.empty(max(U, 1), np.int32)
+        rt.BtlWpUnits(
+            ctypes.c_void_p(h),
+            u_syms.ctypes.data_as(ctypes.c_void_p),
+            u_soff.ctypes.data_as(ctypes.c_void_p),
+            u_fn.ctypes.data_as(ctypes.c_void_p),
+        )
+
+        # ---- dense packing into ROW_W-wide rows, by unit-length class ----
+        ulen = np.diff(u_soff)
+        ext = ulen + 2
+        u_row = np.zeros(max(U, 1), np.int32)
+        u_off = np.zeros(max(U, 1), np.int32)
+        fn2ini = self.engine.fn2ini
+        iw_flat = self._map_raw(u_syms[:S]) if S else u_syms[:0]
+
+        rows_x: list[np.ndarray] = []
+        rows_init: list[np.ndarray] = []
+        class_rows: list[tuple[int, int, int]] = []  # (row_lo, row_hi, lw)
+        for cap_len in LW_CLASSES:
+            lo_row = len(rows_x)
+            members = np.flatnonzero(
+                (ulen <= cap_len)
+                & (ulen > (0 if cap_len == LW_CLASSES[0] else LW_CLASSES[0]))
+            )
+            cur = ROW_W + 1
+            x_row = None
+            init_row = None
+            for u in members:
+                e = int(ext[u])
+                if cur + e > ROW_W:
+                    if x_row is not None:
+                        rows_x.append(x_row)
+                        rows_init.append(init_row)
+                    x_row = np.full(ROW_W, -1, np.int32)
+                    init_row = np.full(ROW_W, -1, np.int32)
+                    cur = 0
+                o = cur
+                u_row[u] = len(rows_x)
+                u_off[u] = o  # content coords == L-anchor lane index
+                x_row[o] = self._l_iw
+                x_row[o + 1 : o + 1 + ulen[u]] = iw_flat[u_soff[u] : u_soff[u + 1]]
+                x_row[o + 1 + ulen[u]] = self._r_iw
+                fini = fn2ini[int(u_fn[u])]
+                init_row[o : o + e] = fini if fini is not None else -1
+                cur += e
+            if x_row is not None:
+                rows_x.append(x_row)
+                rows_init.append(init_row)
+            class_rows.append((lo_row, len(rows_x), cap_len + 2))
+        R = len(rows_x)
+        px = np.stack(rows_x) if R else np.zeros((0, ROW_W), np.int32)
+        pinit = np.stack(rows_init) if R else np.zeros((0, ROW_W), np.int32)
+
+        pending = []
+        for lo_row, hi_row, lw in class_rows:
+            lo = lo_row
+            if hi_row <= lo_row:
+                continue
+            for b in _row_chunks(hi_row - lo_row):
+                n = min(b, max(hi_row - lo, 0))
+                bx = np.full((b, ROW_W), -1, np.int32)
+                bi = np.full((b, ROW_W), -1, np.int32)
+                if n:
+                    bx[:n] = px[lo : lo + n]
+                    bi[:n] = pinit[lo : lo + n]
+                out = lexer_ops.wp_subword_pass(
+                    self.tables, jnp.asarray(bx), jnp.asarray(bi),
+                    jnp.int32(self._l_iw), jnp.int32(self._r_iw), lw,
+                )
+                try:
+                    out.copy_to_host_async()
+                except Exception:
+                    pass
+                pending.append((n, out))
+                lo += n
+        return (h, B, u_row, u_off, pending)
+
+    def collect(self, state, unk_id: int, docs_b: list[bytes]):
+        h, B, u_row, u_off, pending = state
+        rt = self._rt
+        if pending:
+            rows = np.concatenate(
+                [np.asarray(o)[:n] for n, o in pending if n], axis=0
+            )
+        else:
+            rows = np.zeros((0, ROW_W + 2), np.int32)
+        rows = np.ascontiguousarray(rows)
+        cap = int(sum(len(d) for d in docs_b)) + B + 16
+        out_ids = np.empty(cap, np.int32)
+        bounds = np.empty(B + 1, np.int64)
+        need = np.empty(B, np.uint8)
+        t = rt.BtlWpStitch(
+            ctypes.c_void_p(h), rows.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(rows.shape[0]), ctypes.c_int(ROW_W + 2),
+            u_row.ctypes.data_as(ctypes.c_void_p),
+            u_off.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(unk_id),
+            out_ids.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(cap),
+            bounds.ctypes.data_as(ctypes.c_void_p),
+            need.ctypes.data_as(ctypes.c_void_p),
+        )
+        rt.BtlWpFree(ctypes.c_void_p(h))
+        assert t >= 0, "BtlWpStitch capacity exceeded"
+        ids = out_ids[:t]
+        n_fb = int(need.sum())
+        if n_fb:
+            ids, bounds = self._patch_native(docs_b, ids, bounds, need, unk_id)
+        return ids, bounds, n_fb
+
+    def _patch_native(self, docs_b, ids, bounds, need, unk_id):
+        """Fallback docs run the full native TextToIds (host C++)."""
+        rt = self._rt
+        buf = np.empty(1 << 16, np.int32)
+        repl = {}
+        for k in np.flatnonzero(need):
+            d = docs_b[int(k)]
+            n = rt.TextToIds(
+                ctypes.c_void_p(self._nh), ctypes.c_char_p(d),
+                ctypes.c_int(len(d)),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int(len(buf)), ctypes.c_int(unk_id),
+            )
+            repl[int(k)] = buf[:n].tolist()
+        cnt = np.diff(bounds)
+        for k, v in repl.items():
+            cnt[k] = len(v)
+        nb = np.zeros(len(bounds), np.int64)
+        np.cumsum(cnt, out=nb[1:])
+        out = np.empty(int(nb[-1]), np.int32)
+        prev = 0
+        for k in sorted(repl):
+            if k > prev:
+                out[nb[prev] : nb[k]] = ids[bounds[prev] : bounds[k]]
+            out[nb[k] : nb[k + 1]] = repl[k]
+            prev = k + 1
+        n = len(cnt)
+        if prev < n:
+            out[nb[prev] : nb[n]] = ids[bounds[prev] : bounds[n]]
+        return out, nb
+
+    def encode_corpus_flat(
+        self, docs, unk_id: int = 0, batch_docs: int = 16384, counters=None
+    ):
+        """(ids, bounds) over the whole corpus — the flat-buffer contract of
+        encode_corpus_flat on the [pos-dict] side."""
+        from . import metrics
+
+        c = counters or metrics.global_counters()
+        docs_b = [d.encode("utf-8") if isinstance(d, str) else d for d in docs]
+        parts = []
+        inflight = []
+
+        def do_collect(entry):
+            chunk, state = entry
+            with metrics.stage("collect", c):
+                ids, bounds, n_fb = self.collect(state, unk_id, chunk)
+                c.fallback_docs += n_fb
+                c.tokens_out += int(bounds[-1])
+                parts.append((ids, bounds))
+
+        for start in range(0, len(docs_b), batch_docs):
+            chunk = docs_b[start : start + batch_docs]
+            with metrics.stage("dispatch", c):
+                state = self.dispatch(chunk)
+            c.bytes_in += sum(len(d) for d in chunk)
+            c.docs_in += len(chunk)
+            c.batches += 1
+            inflight.append((chunk, state))
+            if len(inflight) > 2:
+                do_collect(inflight.pop(0))
+        while inflight:
+            do_collect(inflight.pop(0))
+
+        if len(parts) == 1:
+            return parts[0]
+        total = sum(len(i) for i, _b in parts)
+        ids = np.empty(total, np.int32)
+        bounds = np.empty(len(docs_b) + 1, np.int64)
+        bounds[0] = 0
+        t = 0
+        d = 0
+        for pi, pb in parts:
+            ids[t : t + len(pi)] = pi
+            nb = len(pb) - 1
+            bounds[d + 1 : d + 1 + nb] = pb[1:] + t
+            t += len(pi)
+            d += nb
+        return ids, bounds
+
+    def text_to_ids_batch(self, docs, unk_id: int = 0) -> list[list[int]]:
+        ids, bounds = self.encode_corpus_flat(docs, unk_id=unk_id)
+        return [
+            ids[bounds[i] : bounds[i + 1]].tolist() for i in range(len(docs))
+        ]
+
+    def warm(self, buckets=ROW_BUCKETS):
+        import jax.numpy as jnp
+
+        for cap_len in LW_CLASSES:
+            for b in buckets:
+                bx = np.full((b, ROW_W), -1, np.int32)
+                np.asarray(
+                    lexer_ops.wp_subword_pass(
+                        self.tables, jnp.asarray(bx), jnp.asarray(bx),
+                        jnp.int32(self._l_iw), jnp.int32(self._r_iw),
+                        cap_len + 2,
+                    )
+                )
