@@ -1,28 +1,33 @@
 #!/usr/bin/env python
-"""Benchmark: tokenization throughput (bytes/s/chip) for the five BASELINE
-configs — gpt2 byte-BPE (primary), xlnet unigram, bert WordPiece, wbd
-TextToWords, syllab hyphenation.
+"""Benchmark: tokenization throughput for the BASELINE configs — gpt2
+byte-BPE, xlnet unigram, bert WordPiece, roberta BPE-with-merges, wbd
+TextToWords, sbd TextToSentences, syllab hyphenation.
 
 Prints exactly one JSON line whose required fields are
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
-plus per-config extras (<name>_bytes_per_s, fallback percentages, e2e rates,
-compile times).  vs_baseline is against ~2 MB/s — the reference's published
-single-thread SentencePiece-runtime rate (2.05M lines in ~101 s,
-ldbsrc/xlnet/README.TXT:44-53; SURVEY.md §6).
 
-Robustness + honesty:
-- Each config runs in its OWN subprocess with a hard timeout: a wedged
-  device tunnel (observed: a d2h transfer that never completes also wedges
-  every subsequent compile in that process) can cost at most one config.
-  Children stream partial results line-by-line, so even a SIGKILLed child
-  contributes every number it recorded before the wedge.
-- Device rates are timed dispatch -> host read of a chained scalar.  On the
-  tunneled TPU backend jax.block_until_ready() can return before queued
-  executions actually finish (measured: 8 chained 260 ms executions
-  "blocked" in 0.9 ms, then a 4-byte d2h read took 23.8 s draining the
-  backlog), so wall-clocking to block_until_ready overstates throughput by
-  orders of magnitude.  Timing to read-completion of a value that
-  data-depends on every chained iteration cannot lie.
+Honesty rules (VERDICT r3):
+- The HEADLINE value is the END-TO-END production rate (bytes in -> ids in a
+  flat buffer, including host prep, device compute, d2h and stitching), NOT
+  a device-only rate.
+- The reference shared library is measured ON THIS MACHINE over the SAME
+  corpus ({cfg}_ref_bytes_per_s) and every e2e number carries {cfg}_vs_ref.
+  vs_baseline still uses the reference's published ~2 MB/s
+  (ldbsrc/xlnet/README.TXT:44-53) for cross-round comparability.
+- {cfg}_path names the production implementation measured:
+    device-dedup          native prep/dedup + TPU kernels + native stitch
+    hybrid-native+device  native level-0 scan + TPU sub-token pass
+    native-host           host C++ only (no device win available yet)
+- A REAL text corpus (reference repo prose + the xlnet dictionary,
+  benchmarks/realtext.py) is measured alongside the synthetic generator
+  ({cfg}_real_* keys) — dedup flattery shows up as the gap between them.
+- stage seconds (prep/dispatch/collect) are recorded per e2e run.
+
+Each config runs in its OWN subprocess with a hard timeout: a wedged device
+tunnel costs at most one config, and children stream partial results
+line-by-line so a SIGKILLed child keeps every number it recorded.  Device
+rates are timed to a host READ of the result (block_until_ready can return
+early on the tunneled backend).
 """
 
 from __future__ import annotations
@@ -42,13 +47,15 @@ BASELINE_BYTES_PER_S = 2e6
 T0 = time.time()
 
 RESULT = {
-    "metric": "gpt2_byte_bpe_tokenization",
+    "metric": "gpt2_e2e_tokenization",
     "value": 0.0,
     "unit": "bytes/s/chip",
     "vs_baseline": 0.0,
 }
 
 LDB = "/root/reference/ldbsrc/ldb"
+REF_SO = "/root/reference/dist-pypi/blingfire/libblingfiretokdll.so"
+REF_DIST = "/root/reference/dist-pypi/blingfire"
 
 
 def log(msg: str) -> None:
@@ -56,172 +63,287 @@ def log(msg: str) -> None:
 
 
 def record(key: str, value) -> None:
-    """Record one metric.  In child mode, stream it to the parent
-    immediately so a later wedge/kill cannot lose it."""
     RESULT[key] = value
     if "--step" in sys.argv:
         print("RESULT-JSON: " + json.dumps({key: value}), flush=True)
 
 
-# ---------------------------------------------------------------------------
-# measurements (child-process side)
-# ---------------------------------------------------------------------------
-
-
-def measure_sp(name: str, n_sym: int = 128,
-               batch: int = int(os.environ.get("BENCH_SP_BATCH", "16384")),
-               iters: int = int(os.environ.get("BENCH_SP_ITERS", "4")),
-               rounds: int = 2):
-    """Effective device rate for one [pos-dict] model.
-
-    The production path (runtime/dedup.py) tokenizes only the batch's
-    UNIQUE word-units, repacked into dense rows, so the device-rate
-    denominator is the full corpus byte count while the device walks ~40x
-    fewer lanes.  Iterations are chained through a data dependency and the
-    timed loop ends with a host read (see module docstring on the lying
-    block_until_ready)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
+def corpora():
+    from benchmarks.realtext import real_lines
     from benchmarks.textgen import corpus_lines
-    from blingfire_tpu.models.loader import load_model
-    from blingfire_tpu.ops import bpe as bpe_ops
-    from blingfire_tpu.ops import unigram as uni_ops
-    from blingfire_tpu.runtime.dedup import PACK_ROWS, _helpers, pack_units, split_units
-    from blingfire_tpu.runtime.host import SpTokenizer
 
-    model = load_model(f"{LDB}/{name}.bin")
-    tok = SpTokenizer(model, max_doc_symbols=n_sym)
-    runner = tok._unit_runner()
-    unk = jnp.int32(0)
-    derive_spm, *_pack = _helpers()
+    syn = corpus_lines(int(os.environ.get("BENCH_E2E_DOCS", "65536")), seed=3)
+    real = real_lines()
+    return syn, real
 
-    def dispatch(xj, lj):
-        if tok.is_bpe:
-            return bpe_ops.bpe_segment(
-                tok.tables, xj, derive_spm(xj, runner.spm_iw), lj, unk, tok.a_max
-            )
-        return uni_ops.unigram_segment(tok.tables, xj, lj, unk)
 
-    @jax.jit
-    def salt_input(xv, counts):
-        s = jnp.where(jnp.sum(counts) == jnp.iinfo(jnp.int32).min, 1, 0)
-        return xv + s
+# ---------------------------------------------------------------------------
+# reference .so (same box, same corpus)
+# ---------------------------------------------------------------------------
 
-    # -- prep + dedup on host ----------------------------------------------
-    docs = corpus_lines(batch, seed=2)
-    nbytes = sum(len(d) for d in docs)
-    t0 = time.perf_counter()
-    x, spm, lengths, _o, pre_fb = tok._prep_batch(docs)
-    ub = split_units(np.asarray(x), np.asarray(spm), np.asarray(lengths))
-    px, plen, _ur, _uo = pack_units(ub, tok.n_doc)
-    host_s = time.perf_counter() - t0
-    n_disp = (len(px) + PACK_ROWS - 1) // PACK_ROWS
-    record(f"{name}_dedup_rows", int(len(px)))
-    log(f"{name}: host prep+dedup {host_s * 1e3:.0f} ms — {len(ub.u_len)} "
-        f"unique units, {len(px)} packed rows, {n_disp} dispatches")
 
-    # device inputs: every packed-row chunk
-    chunks = []
-    for lo in range(0, len(px), PACK_ROWS):
-        bx = np.full((PACK_ROWS, tok.n_doc), -1, np.int32)
-        blen = np.zeros(PACK_ROWS, np.int32)
-        n = min(PACK_ROWS, len(px) - lo)
-        bx[:n] = px[lo : lo + n]
-        blen[:n] = plen[lo : lo + n]
-        chunks.append((jnp.asarray(bx), jnp.asarray(blen)))
+def _ref_lib():
+    import ctypes
 
-    # -- warm/compile -------------------------------------------------------
-    t0 = time.perf_counter()
-    r = dispatch(*chunks[0])
-    _ = int(np.asarray(r[3][0]))  # read = executed, not just queued
-    compile_s = time.perf_counter() - t0
-    log(f"{name}: compile+first {compile_s:.1f}s  ({nbytes} B/batch)")
-    record(f"{name}_compile_s", round(compile_s, 1))
+    lib = ctypes.cdll.LoadLibrary(REF_SO)
+    lib.LoadModel.restype = ctypes.c_void_p
+    lib.LoadModel.argtypes = [ctypes.c_char_p]
+    lib.TextToIds.restype = ctypes.c_int
+    lib.TextToIds.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+                              ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+                              ctypes.c_int]
+    for fn in (lib.TextToWords, lib.TextToSentences):
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+                       ctypes.c_int]
+    return lib
 
-    best = 0.0
-    for rd in range(rounds):
-        salt = chunks[0][0][:1, :1]  # (1,1) carry chaining every dispatch
+
+def measure_reference():
+    """Single-thread reference rates on this machine (the honest yardstick)."""
+    import ctypes
+
+    lib = _ref_lib()
+    syn, real = corpora()
+    arr = (ctypes.c_int32 * 1024)()
+    buf = ctypes.create_string_buffer(1 << 16)
+
+    def run_ids(handle, docs):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            for xj, lj in chunks:
-                r = dispatch(xj + salt * 0, lj)
-                salt = salt_input(salt, r[3])
-        chk = int(np.asarray(salt[0, 0]))  # forces the chain to finish
-        dt = (time.perf_counter() - t0) / iters
-        bps = nbytes / dt
-        best = max(best, bps)
-        record(f"{name}_bytes_per_s", round(best, 1))
-        log(f"{name}: round {rd}: {bps / 1e6:.2f} MB/s device "
-            f"({dt * 1e3:.2f} ms/batch, chk={chk})")
+        for d in docs:
+            lib.TextToIds(handle, d, len(d), arr, 1024, 0)
+        return sum(len(d) for d in docs) / (time.perf_counter() - t0)
 
-    # prep-side fallback (doc-level device fallback is counted in the e2e
-    # step's Counters, where it has per-doc resolution)
-    record(f"{name}_prep_fallback_pct",
-           round(float(np.asarray(pre_fb).mean() * 100.0), 3))
-    return tok
+    for cfg, fname in (("gpt2", "gpt2.bin"), ("xlnet", "xlnet.bin"),
+                       ("bert", "bert_base_cased_tok.bin"),
+                       ("roberta", "roberta.bin")):
+        path = os.path.join(REF_DIST, fname)
+        if not os.path.exists(path):
+            path = os.path.join(LDB, fname)
+        h = lib.LoadModel(path.encode())
+        record(f"{cfg}_ref_bytes_per_s", round(run_ids(h, syn), 1))
+        record(f"{cfg}_real_ref_bytes_per_s", round(run_ids(h, real), 1))
+        log(f"{cfg}: reference .so {RESULT[f'{cfg}_ref_bytes_per_s']/1e6:.2f} MB/s "
+            f"(real {RESULT[f'{cfg}_real_ref_bytes_per_s']/1e6:.2f})")
+
+    for cfg, fn in (("wbd", "TextToWords"), ("sbd", "TextToSentences")):
+        t0 = time.perf_counter()
+        for d in syn:
+            getattr(lib, fn)(d, len(d), buf, 1 << 16)
+        bps = sum(len(d) for d in syn) / (time.perf_counter() - t0)
+        record(f"{cfg}_ref_bytes_per_s", round(bps, 1))
+        log(f"{cfg}: reference .so {bps/1e6:.2f} MB/s")
+
+    lib.WordHyphenationWithModel.restype = ctypes.c_int
+    lib.WordHyphenationWithModel.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int,
+    ]
+    hh = lib.LoadModel(os.path.join(REF_DIST, "syllab.bin").encode())
+    words = _hyph_words()
+    t0 = time.perf_counter()
+    for wb in words:
+        lib.WordHyphenationWithModel(wb, len(wb), buf, 1 << 16,
+                                     ctypes.c_void_p(hh), 0x2D)
+    bps = sum(len(w) for w in words) / (time.perf_counter() - t0)
+    record("syllab_ref_bytes_per_s", round(bps, 1))
+    log(f"syllab: reference .so {bps/1e6:.2f} MB/s")
+
+
+def _hyph_words(n_words: int = int(os.environ.get("BENCH_HYPH_WORDS", "20000"))):
+    from benchmarks.textgen import corpus_lines
+
+    words: list[bytes] = []
+    for line in corpus_lines(4000, seed=8):
+        for w in line.decode("utf-8", "ignore").split():
+            w = w.strip(".,!?\"'")
+            if 2 <= len(w) <= 28 and w.isalpha():
+                words.append(w.encode())
+            if len(words) >= n_words:
+                return words
+    return words
+
+
+# ---------------------------------------------------------------------------
+# our native host runtime (production path for wbd/sbd; same yardstick corpus)
+# ---------------------------------------------------------------------------
+
+
+def measure_native():
+    import ctypes
+
+    from blingfire_tpu import native
+
+    rt = native.get_runtime()
+    if rt is None:
+        log("native runtime unavailable")
+        return
+    rt.TextToIds.restype = ctypes.c_int
+    rt.TextToIds.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+                             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+                             ctypes.c_int]
+    syn, real = corpora()
+    nbytes = sum(len(d) for d in syn)
+    arr = (ctypes.c_int32 * 1024)()
+    for mname in ("gpt2", "xlnet", "bert_base_cased_tok", "roberta"):
+        h = rt.LoadModel(f"{LDB}/{mname}.bin".encode())
+        t0 = time.perf_counter()
+        for d in syn:
+            rt.TextToIds(h, d, len(d), arr, 1024, 0)
+        dt = time.perf_counter() - t0
+        key = {"bert_base_cased_tok": "bert"}.get(mname, mname)
+        record(f"{key}_native_bytes_per_s", round(nbytes / dt, 1))
+        log(f"{key}: native TextToIds {nbytes / dt / 1e6:.2f} MB/s")
+    wbd = rt.LoadModel(f"{LDB}/wbd.bin".encode())
+    sbd = rt.LoadModel(f"{LDB}/sbd.bin".encode())
+    rt.SetDefaultModels.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    rt.SetDefaultModels(wbd, sbd)
+    buf = ctypes.create_string_buffer(1 << 16)
+    for fname, key in (("TextToWords", "wbd"), ("TextToSentences", "sbd")):
+        fn = getattr(rt, fname)
+        t0 = time.perf_counter()
+        for d in syn:
+            fn(d, len(d), buf, 1 << 16)
+        dt = time.perf_counter() - t0
+        record(f"{key}_native_bytes_per_s", round(nbytes / dt, 1))
+        # wbd/sbd production is the host-native engine: the e2e key IS this
+        record(f"{key}_e2e_bytes_per_s", round(nbytes / dt, 1))
+        record(f"{key}_path", "native-host")
+        log(f"{key}: native {fname} {nbytes / dt / 1e6:.2f} MB/s")
+
+
+# ---------------------------------------------------------------------------
+# TPU production paths
+# ---------------------------------------------------------------------------
 
 
 def measure_sp_e2e(name: str) -> None:
-    """End-to-end rate: host prep + device + d2h collect + oracle fallbacks."""
-    from benchmarks.textgen import corpus_lines
+    """[pos-dict] device-dedup production path, synthetic + real corpora."""
     from blingfire_tpu.models.loader import load_model
     from blingfire_tpu.runtime import metrics
     from blingfire_tpu.runtime.host import SpTokenizer
 
     model = load_model(f"{LDB}/{name}.bin")
     tok = SpTokenizer(model, max_doc_symbols=128)
-    warm = corpus_lines(64, seed=1)
-    tok.encode_corpus(warm, batch_docs=64)
-    log(f"{name}: e2e warm done")
-
-    c = metrics.Counters()
-    e2e_docs = corpus_lines(int(os.environ.get("BENCH_E2E_DOCS", "32768")), seed=3)
-    e2e_bytes = sum(len(d) for d in e2e_docs)
+    if not (tok.dedup_units and tok._native_units_ok()):
+        record(f"{name}_path", "host-fallback")
+        log(f"{name}: device-dedup path unavailable")
+        return
+    record(f"{name}_path", "device-dedup")
     t0 = time.perf_counter()
-    tok.encode_corpus(e2e_docs, batch_docs=16384, counters=c)
-    dt = time.perf_counter() - t0
-    record(f"{name}_e2e_bytes_per_s", round(e2e_bytes / dt, 1))
-    record(f"{name}_fallback_pct",
-           round(100.0 * c.fallback_docs / max(c.docs_in, 1), 3))
-    log(f"{name}: e2e {e2e_bytes / dt / 1e6:.2f} MB/s ({c.fallback_docs} fallbacks)")
+    tok._unit_runner().warm()
+    warm_s = time.perf_counter() - t0
+    record(f"{name}_warm_s", round(warm_s, 1))
+    log(f"{name}: warm (persistent-cache compile) {warm_s:.1f}s")
+
+    syn, real = corpora()
+    for label, docs in (("", syn), ("real_", real)):
+        c = metrics.Counters()
+        nbytes = sum(len(d) for d in docs)
+        best = 0.0
+        for _ in range(2):
+            c = metrics.Counters()
+            t0 = time.perf_counter()
+            ids, bounds = tok.encode_corpus_flat(docs, batch_docs=16384, counters=c)
+            dt = time.perf_counter() - t0
+            best = max(best, nbytes / dt)
+        record(f"{name}_{label}e2e_bytes_per_s", round(best, 1))
+        record(f"{name}_{label}fallback_pct",
+               round(100.0 * c.fallback_docs / max(c.docs_in, 1), 3))
+        record(f"{name}_{label}stage_seconds",
+               {k: round(v, 3) for k, v in c.stage_seconds.items()})
+        log(f"{name}: {label or 'syn '}e2e {best/1e6:.2f} MB/s "
+            f"({c.fallback_docs} fallbacks, tokens={len(ids)})")
+    # device-only rate (dispatch+compute+read over pre-analyzed rows)
+    _measure_sp_device(name, tok, syn)
 
 
-def measure_wordpiece(batch: int = int(os.environ.get("BENCH_LEX_BATCH", "4096"))):
-    from benchmarks.textgen import corpus_lines
-    from blingfire_tpu.models.loader import load_model
-    from blingfire_tpu.runtime.lexer_host import WordPieceTpu
+def _measure_sp_device(name, tok, docs, iters: int = 4):
+    """Device-only rate: packed-row kernel time for the whole corpus's unique
+    units, denominator = corpus bytes (the dedup path's effective rate)."""
+    import jax.numpy as jnp
+    import numpy as np
 
-    model = load_model(f"{LDB}/bert_base_cased_tok.bin")
-    wp = WordPieceTpu(model)
-    wp.text_to_ids_batch(corpus_lines(256, seed=4))  # compile + warm
-    log("bert: warm done")
-    docs = corpus_lines(batch, seed=5)
+    from blingfire_tpu import native
+    from blingfire_tpu.runtime import dedup
+
+    runner = tok._unit_runner()
     nbytes = sum(len(d) for d in docs)
-    t0 = time.perf_counter()
-    wp.text_to_ids_batch(docs)  # returns host lists: read-complete by design
-    dt = time.perf_counter() - t0
-    record("bert_bytes_per_s", round(nbytes / dt, 1))
-    log(f"bert: {nbytes / dt / 1e6:.2f} MB/s")
+    nus = []
+    for lo in range(0, len(docs), 16384):
+        nus.append(native.units_analyze(
+            docs[lo : lo + 16384], tok.n_doc, tok._sym2iw, runner.spm_iw,
+            tok.seg.use_raw_bytes, tok.seg.no_dummy_prefix, tok.seg.charmap,
+        ))
+    record(f"{name}_dedup_rows", int(sum(nu.n_rows for nu in nus)))
+    chunks = []
+    for nu in nus:
+        parts = [(0, nu.split_rows, dedup.SHORT_LW, True),
+                 (nu.split_rows, nu.n_rows, None, False)]
+        for plo, phi, lw, bounded in parts:
+            lo = plo
+            if phi <= plo:
+                continue
+            for b in dedup._row_chunks(phi - plo):
+                n = min(b, max(phi - lo, 0))
+                bx = np.full((b, tok.n_doc), -1, np.int32)
+                bl = np.zeros(b, np.int32)
+                if n:
+                    bx[:n] = nu.px[lo : lo + n]
+                    bl[:n] = nu.plen[lo : lo + n]
+                chunks.append((jnp.asarray(bx), jnp.asarray(bl), lw, bounded))
+                lo += n
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        last = None
+        for _i in range(iters):
+            for xd, ld, lw, bounded in chunks:
+                last = runner._kernel(xd, ld, 0, lw=lw, bounded=bounded)
+        _ = np.asarray(last[2])  # read -> everything queued has executed
+        dt = (time.perf_counter() - t0) / iters
+        best = max(best, nbytes / dt)
+    record(f"{name}_device_bytes_per_s", round(best, 1))
+    log(f"{name}: device-only {best/1e6:.2f} MB/s ({len(chunks)} chunks/corpus)")
 
 
-def measure_words(batch: int = int(os.environ.get("BENCH_LEX_BATCH", "4096"))):
-    from benchmarks.textgen import corpus_lines
+def measure_wordpiece():
     from blingfire_tpu.models.loader import load_model
-    from blingfire_tpu.runtime.lexer_host import WordsTpu
+    from blingfire_tpu.runtime import metrics
+    from blingfire_tpu.runtime.wp_hybrid import WordPieceHybrid
 
-    model = load_model(f"{LDB}/wbd.bin")
-    w = WordsTpu(model)
-    w.text_to_words_batch(corpus_lines(256, seed=6))
-    log("wbd: warm done")
-    docs = corpus_lines(batch, seed=7)
-    nbytes = sum(len(d) for d in docs)
+    path = f"{LDB}/bert_base_cased_tok.bin"
+    wp = WordPieceHybrid(load_model(path), path)
+    if not wp.available():
+        record("bert_path", "native-host")
+        log("bert: hybrid unavailable (falls back to native host path)")
+        return
+    record("bert_path", "hybrid-native+device")
     t0 = time.perf_counter()
-    w.text_to_words_batch(docs)
-    dt = time.perf_counter() - t0
-    record("wbd_bytes_per_s", round(nbytes / dt, 1))
-    log(f"wbd: {nbytes / dt / 1e6:.2f} MB/s")
+    wp.warm()
+    record("bert_warm_s", round(time.perf_counter() - t0, 1))
+    log(f"bert: warm {RESULT['bert_warm_s']}s")
+    syn, real = corpora()
+    for label, docs in (("", syn), ("real_", real)):
+        nbytes = sum(len(d) for d in docs)
+        best, c = 0.0, None
+        for _ in range(2):
+            c = metrics.Counters()
+            t0 = time.perf_counter()
+            wp.encode_corpus_flat(docs, batch_docs=16384, counters=c)
+            best = max(best, nbytes / (time.perf_counter() - t0))
+        record(f"bert_{label}e2e_bytes_per_s", round(best, 1))
+        record(f"bert_{label}fallback_pct",
+               round(100.0 * c.fallback_docs / max(c.docs_in, 1), 3))
+        record(f"bert_{label}stage_seconds",
+               {k: round(v, 3) for k, v in c.stage_seconds.items()})
+        log(f"bert: {label or 'syn '}e2e {best/1e6:.2f} MB/s "
+            f"({c.fallback_docs} fallbacks)")
+
+
+def measure_roberta():
+    """BPE-with-merges through the same device-dedup path."""
+    measure_sp_e2e("roberta")
 
 
 def measure_hyph(n_words: int = int(os.environ.get("BENCH_HYPH_WORDS", "20000"))):
@@ -241,88 +363,65 @@ def measure_hyph(n_words: int = int(os.environ.get("BENCH_HYPH_WORDS", "20000"))
                 break
         if len(words) >= n_words:
             break
-    hy.process_batch(words[:64])  # warm
-    log("syllab: warm done")
     nbytes = sum(len(w) for w in words)
-    t0 = time.perf_counter()
-    hy.process_batch(words)
-    dt = time.perf_counter() - t0
-    record("syllab_bytes_per_s", round(nbytes / dt, 1))
-    log(f"syllab: {nbytes / dt / 1e6:.2f} MB/s over {len(words)} words")
-
-
-def measure_native():
-    """Host-native C++ runtime rates (the framework's production path for
-    the C ABI surface) — no device involved, so these are wedge-proof."""
+    # native host path (production for syllab until the device kernel wins)
     import ctypes
 
-    from benchmarks.textgen import corpus_lines
     from blingfire_tpu import native
 
     rt = native.get_runtime()
-    if rt is None:
-        log("native runtime unavailable")
-        return
-    rt.LoadModel.restype = ctypes.c_void_p
-    rt.LoadModel.argtypes = [ctypes.c_char_p]
-    rt.TextToIds.restype = ctypes.c_int
-    rt.TextToIds.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
-                             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-                             ctypes.c_int]
-    docs = corpus_lines(int(os.environ.get("BENCH_NATIVE_DOCS", "8192")), seed=4)
-    nbytes = sum(len(d) for d in docs)
-    arr = (ctypes.c_int32 * 1024)()
-    for mname in ("gpt2", "xlnet", "bert_base_cased_tok"):
-        h = rt.LoadModel(f"{LDB}/{mname}.bin".encode())
+    if rt is not None:
+        h = rt.LoadModel(f"{LDB}/syllab.bin".encode())
+        rt.WordHyphenationWithModel.restype = ctypes.c_int
+        rt.WordHyphenationWithModel.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        buf = ctypes.create_string_buffer(4096)
+        wbytes = ["".join(chr(c) for c in w).encode() for w in words]
         t0 = time.perf_counter()
-        for d in docs:
-            rt.TextToIds(h, d, len(d), arr, 1024, 0)
+        for wb in wbytes:
+            rt.WordHyphenationWithModel(wb, len(wb), buf, 4096,
+                                        ctypes.c_void_p(h), 0x2D)
         dt = time.perf_counter() - t0
-        key = {"bert_base_cased_tok": "bert"}.get(mname, mname)
-        record(f"{key}_native_bytes_per_s", round(nbytes / dt, 1))
-        log(f"{key}: native TextToIds {nbytes / dt / 1e6:.2f} MB/s")
-    # words/sentences via the default models
-    wbd = rt.LoadModel(f"{LDB}/wbd.bin".encode())
-    sbd = rt.LoadModel(f"{LDB}/sbd.bin".encode())
-    rt.SetDefaultModels.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
-    rt.SetDefaultModels(wbd, sbd)
-    buf = ctypes.create_string_buffer(1 << 16)
-    for fname, key in (("TextToWords", "wbd"), ("TextToSentences", "sbd")):
-        fn = getattr(rt, fname)
-        t0 = time.perf_counter()
-        for d in docs:
-            fn(d, len(d), buf, 1 << 16)
-        dt = time.perf_counter() - t0
-        record(f"{key}_native_bytes_per_s", round(nbytes / dt, 1))
-        log(f"{key}: native {fname} {nbytes / dt / 1e6:.2f} MB/s")
+        record("syllab_e2e_bytes_per_s", round(nbytes / dt, 1))
+        record("syllab_path", "native-host")
+        log(f"syllab: native {nbytes / dt / 1e6:.2f} MB/s")
+    # device path: first full-size run compiles (persistent cache), second
+    # run is the measured steady state
+    hy.process_batch(words)
+    t0 = time.perf_counter()
+    hy.process_batch(words)
+    dt = time.perf_counter() - t0
+    record("syllab_device_bytes_per_s", round(nbytes / dt, 1))
+    log(f"syllab: device {nbytes / dt / 1e6:.2f} MB/s over {len(words)} words")
 
 
 STEPS = {
+    "reference": measure_reference,
     "native": measure_native,
-    "gpt2": lambda: measure_sp("gpt2"),
-    "xlnet": lambda: measure_sp("xlnet"),
-    "bert": measure_wordpiece,
-    "wbd": measure_words,
-    "syllab": measure_hyph,
     "gpt2_e2e": lambda: measure_sp_e2e("gpt2"),
     "xlnet_e2e": lambda: measure_sp_e2e("xlnet"),
+    "roberta_e2e": measure_roberta,
+    "bert": measure_wordpiece,
+    "syllab": measure_hyph,
 }
 
-# per-step wall budgets (s): compile can be slow cold; the disk compilation
-# cache makes warm reruns much cheaper
 STEP_TIMEOUT = {
-    "native": 240.0,
-    "gpt2": 420.0,
-    "xlnet": 420.0,
+    "reference": 300.0,
+    "native": 300.0,
+    "gpt2_e2e": 420.0,
+    "xlnet_e2e": 420.0,
+    "roberta_e2e": 420.0,
     "bert": 300.0,
-    "wbd": 300.0,
     "syllab": 240.0,
-    "gpt2_e2e": 300.0,
-    "xlnet_e2e": 300.0,
 }
 
 
 def child_main(step: str) -> None:
+    if step in ("reference", "native"):
+        STEPS[step]()  # host-only: never touch the device
+        return
     import jax
 
     log(f"[{step}] backend: {jax.default_backend()}  devices: {jax.devices()}")
@@ -331,7 +430,8 @@ def child_main(step: str) -> None:
 
 def parent_main() -> None:
     order = os.environ.get(
-        "BENCH_STEPS", "native,gpt2,xlnet,gpt2_e2e,xlnet_e2e,bert,wbd,syllab"
+        "BENCH_STEPS",
+        "reference,native,gpt2_e2e,xlnet_e2e,bert,roberta_e2e,syllab",
     ).split(",")
     for step in order:
         step = step.strip()
@@ -341,12 +441,15 @@ def parent_main() -> None:
         log(f"=== {step} (budget {budget:.0f}s) ===")
         t0 = time.time()
         try:
+            env = dict(os.environ)
+            # children need the parent's reference numbers for vs_ref logging
             proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--step", step],
                 stdout=subprocess.PIPE,
                 stderr=sys.stderr,
                 text=True,
                 cwd=ROOT,
+                env=env,
             )
             try:
                 out, _ = proc.communicate(timeout=budget)
@@ -365,7 +468,18 @@ def parent_main() -> None:
             RESULT[f"error_{step}"] = traceback.format_exc(limit=1).strip()[-200:]
         log(f"{step}: done in {time.time() - t0:.0f}s")
 
-    bps = float(RESULT.get("gpt2_bytes_per_s", 0.0))
+    # vs_ref for every e2e pair measured on this box
+    for cfg in ("gpt2", "xlnet", "bert", "roberta", "wbd", "sbd", "syllab"):
+        e2e = RESULT.get(f"{cfg}_e2e_bytes_per_s")
+        ref = RESULT.get(f"{cfg}_ref_bytes_per_s")
+        if e2e and ref:
+            RESULT[f"{cfg}_vs_ref"] = round(float(e2e) / float(ref), 2)
+        re2e = RESULT.get(f"{cfg}_real_e2e_bytes_per_s")
+        rref = RESULT.get(f"{cfg}_real_ref_bytes_per_s")
+        if re2e and rref:
+            RESULT[f"{cfg}_real_vs_ref"] = round(float(re2e) / float(rref), 2)
+
+    bps = float(RESULT.get("gpt2_e2e_bytes_per_s", 0.0))
     RESULT["value"] = round(bps, 1)
     RESULT["vs_baseline"] = round(bps / BASELINE_BYTES_PER_S, 2)
     print(json.dumps(RESULT), flush=True)

@@ -57,9 +57,10 @@ def main():
 
     from benchmarks.textgen import corpus_lines
     from blingfire_tpu.models.loader import load_model
-    from blingfire_tpu.parallel.mesh import ShardedBpeRunner, data_parallel_mesh
+    from blingfire_tpu.parallel.mesh import ShardedSpRunner, data_parallel_mesh
     from blingfire_tpu.runtime.host import SpTokenizer
 
+    ShardedBpeRunner = ShardedSpRunner
     model = load_model("/root/reference/ldbsrc/ldb/gpt2.bin")
     tok = SpTokenizer(model, max_doc_symbols=128)
 
@@ -104,27 +105,29 @@ def main():
                        "is NOT the multi-chip number; checksum_consistent is "
                        "the correctness signal")
     else:
+        # single-chip batch sweep through the PRODUCTION dedup layout
+        # (run_units: native prep/dedup + sharded packed rows + native stitch)
+        tok._unit_runner().warm()
         sweep = {}
         for b in [int(x) for x in args.batches.split(",")]:
             docs = corpus_lines(b, seed=12)
             runner = ShardedBpeRunner(tok, mesh=data_parallel_mesh(1))
-            runner.run(docs[:64])
-            import numpy as _np
-
-            ids, counts, stats = runner.run(docs)  # compile big shape
-            _ = int(_np.asarray(counts)[0])
+            runner.run_units(docs[:64])  # warm this shape family
             iters = 4
             t0 = time.perf_counter()
             for _ in range(iters):
-                ids, counts, stats = runner.run(docs)
-                _ = int(_np.asarray(counts)[0])  # read: see --cpu note
+                ids, bounds, need, status, stats = runner.run_units(docs)
             dt = (time.perf_counter() - t0) / iters
             total_bytes = sum(len(d) for d in docs)
             sweep[b] = total_bytes / dt
-            print(f"batch={b:6d}  {sweep[b] / 1e6:8.2f} MB/s")
+            print(f"batch={b:6d}  {sweep[b] / 1e6:8.2f} MB/s  "
+                  f"tokens={stats.total_tokens}")
         out["batch_sweep_mb_s"] = {k: round(v / 1e6, 2) for k, v in sweep.items()}
         peak = max(sweep.values())
         out["saturated_mb_s_per_chip"] = round(peak / 1e6, 2)
+        out["note"] = ("production dedup layout (run_units), end to end incl. "
+                       "native prep/dedup and stitch; saturation batch is "
+                       "where per-chip rate stops growing")
 
     print(json.dumps(out))
     if args.out:

@@ -222,11 +222,19 @@ class TokenizerHandle:
         return [self.text_to_ids(d, unk_id=unk_id) for d in docs]
 
     def text_to_words_batch(self, docs: list[bytes | str]) -> list[str | None]:
+        # production: the native C++ engine (several-fold faster than both
+        # the reference .so and the device span orchestrator — DFA lexing is
+        # lookup-latency-bound, which favours the host; the device path
+        # remains available as runtime.lexer_host.WordsTpu)
+        if self._native_rt() is not None:
+            return [self.text_to_words(d) for d in docs]
         if self._use_device and self.model.wbd is not None:
             return self._device_words().text_to_words_batch(docs)
         return [self.text_to_words(d) for d in docs]
 
     def text_to_sentences_batch(self, docs: list[bytes | str]) -> list[str | None]:
+        if self._native_rt() is not None:
+            return [self.text_to_sentences(d) for d in docs]
         if self._use_device and self.model.wbd is not None:
             return self._device_words().text_to_sentences_batch(docs)
         return [self.text_to_sentences(d) for d in docs]

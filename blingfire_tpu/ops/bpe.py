@@ -39,19 +39,6 @@ INT32_MAX = np.int32(2**31 - 1)
 import os
 
 
-def _use_pallas() -> bool:
-    # The hand-written claim/pointer scan kernels index a dynamic LANE of a
-    # (B, A) VMEM block, which current Mosaic rejects on real TPUs ("cannot
-    # statically prove that index in dimension 1 is a multiple of 128") —
-    # they only ever ran in interpreter mode.  Until the kernels are
-    # restructured around static lane tiles, the XLA while_loop formulations
-    # below are the production TPU path.  BTL_PALLAS=1 re-enables them.
-    v = os.environ.get("BTL_PALLAS", "auto")
-    if v == "1":
-        return True
-    return False
-
-
 def _gather_mode() -> bool:
     """Prefer sort/gather/reduction formulations over scatters (TPU)."""
     v = os.environ.get("BTL_GATHER", "auto")
@@ -561,67 +548,60 @@ def _resolve_impl(
         word = jnp.take_along_axis(mask, (q // 32)[:, None], axis=1)[:, 0]
         return ((word >> (q % 32).astype(jnp.uint32)) & 1) == 1
 
-    if _use_pallas():
-        from . import pallas_scans
-
-        claimed, int_mask = pallas_scans.claim_scan(
-            s_start, s_end, s_valid, lengths, N
-        )
+    # while-loop with a data-dependent bound: arcs are sorted with all
+    # invalid slots at the end, so iterate only to the largest per-batch
+    # arc count instead of a_max.  The body handles UNROLL consecutive
+    # arcs per iteration — per-iteration loop overhead (op issue on a
+    # few-KB working set) dominates this stage otherwise.
+    UNROLL = 16
+    a_pad = -(-a_max // UNROLL) * UNROLL
+    if a_pad != a_max:
+        padw = ((0, 0), (0, a_pad - a_max))
+        s_start_c = jnp.pad(s_start, padw)
+        s_end_c = jnp.pad(s_end, padw)
+        s_valid_c = jnp.pad(s_valid, padw)
     else:
-        # while-loop with a data-dependent bound: arcs are sorted with all
-        # invalid slots at the end, so iterate only to the largest per-batch
-        # arc count instead of a_max.  The body handles UNROLL consecutive
-        # arcs per iteration — per-iteration loop overhead (op issue on a
-        # few-KB working set) dominates this stage otherwise.
-        UNROLL = 16
-        a_pad = -(-a_max // UNROLL) * UNROLL
-        if a_pad != a_max:
-            padw = ((0, 0), (0, a_pad - a_max))
-            s_start_c = jnp.pad(s_start, padw)
-            s_end_c = jnp.pad(s_end, padw)
-            s_valid_c = jnp.pad(s_valid, padw)
-        else:
-            s_start_c, s_end_c, s_valid_c = s_start, s_end, s_valid
-        limit = jnp.minimum(jnp.max(n_arcs), a_max).astype(jnp.int32)
+        s_start_c, s_end_c, s_valid_c = s_start, s_end, s_valid
+    limit = jnp.minimum(jnp.max(n_arcs), a_max).astype(jnp.int32)
 
-        def claim_cond(st):
-            a, _mask, _claimed = st
-            return a < limit
+    def claim_cond(st):
+        a, _mask, _claimed = st
+        return a < limit
 
-        def claim_step(st):
-            a, mask, claimed_acc = st
-            stt8 = jax.lax.dynamic_slice(s_start_c, (0, a * UNROLL), (B, UNROLL))
-            en8 = jax.lax.dynamic_slice(s_end_c, (0, a * UNROLL), (B, UNROLL))
-            vd8 = jax.lax.dynamic_slice(s_valid_c, (0, a * UNROLL), (B, UNROLL))
-            claim8 = []
-            for u in range(UNROLL):
-                stt, en, vd = stt8[:, u], en8[:, u], vd8[:, u]
-                q1 = jnp.clip(stt, 0, N)
-                q2 = jnp.clip(en + 1, 0, N)
-                free1 = ~bit_at(mask, q1)
-                free2 = (en + 1 >= lengths) | ~bit_at(mask, q2)
-                claim = vd & free1 & free2
-                lo = jnp.clip(stt[:, None] + 1 - 32 * warange, 0, 32)
-                hi = jnp.clip(en[:, None] + 1 - 32 * warange, 0, 32)
-                bits = subm(hi) & ~subm(lo)
-                mask = jnp.where(claim[:, None], mask | bits, mask)
-                claim8.append(claim)
-            claimed_acc = jax.lax.dynamic_update_slice(
-                claimed_acc, jnp.stack(claim8, axis=1), (0, a * UNROLL)
-            )
-            return (a + 1, mask, claimed_acc)
-
-        limit = (limit + UNROLL - 1) // UNROLL
-        _, int_mask, claimed = jax.lax.while_loop(
-            claim_cond,
-            claim_step,
-            (
-                jnp.int32(0),
-                jnp.zeros((B, W), jnp.uint32),
-                jnp.zeros((B, a_pad), bool),
-            ),
+    def claim_step(st):
+        a, mask, claimed_acc = st
+        stt8 = jax.lax.dynamic_slice(s_start_c, (0, a * UNROLL), (B, UNROLL))
+        en8 = jax.lax.dynamic_slice(s_end_c, (0, a * UNROLL), (B, UNROLL))
+        vd8 = jax.lax.dynamic_slice(s_valid_c, (0, a * UNROLL), (B, UNROLL))
+        claim8 = []
+        for u in range(UNROLL):
+            stt, en, vd = stt8[:, u], en8[:, u], vd8[:, u]
+            q1 = jnp.clip(stt, 0, N)
+            q2 = jnp.clip(en + 1, 0, N)
+            free1 = ~bit_at(mask, q1)
+            free2 = (en + 1 >= lengths) | ~bit_at(mask, q2)
+            claim = vd & free1 & free2
+            lo = jnp.clip(stt[:, None] + 1 - 32 * warange, 0, 32)
+            hi = jnp.clip(en[:, None] + 1 - 32 * warange, 0, 32)
+            bits = subm(hi) & ~subm(lo)
+            mask = jnp.where(claim[:, None], mask | bits, mask)
+            claim8.append(claim)
+        claimed_acc = jax.lax.dynamic_update_slice(
+            claimed_acc, jnp.stack(claim8, axis=1), (0, a * UNROLL)
         )
-        claimed = claimed[:, :a_max]
+        return (a + 1, mask, claimed_acc)
+
+    limit = (limit + UNROLL - 1) // UNROLL
+    _, int_mask, claimed = jax.lax.while_loop(
+        claim_cond,
+        claim_step,
+        (
+            jnp.int32(0),
+            jnp.zeros((B, W), jnp.uint32),
+            jnp.zeros((B, a_pad), bool),
+        ),
+    )
+    claimed = claimed[:, :a_max]
 
     if _phase == "claim":
         return _phase_out(

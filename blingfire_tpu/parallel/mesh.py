@@ -33,13 +33,21 @@ class ShardedStats:
     checksum: int  # xor-fold of ids, used as a cheap cross-host parity probe
 
 
-class ShardedBpeRunner:
-    """Runs the BPE kernel data-parallel over a mesh with psum'd stats."""
+class ShardedSpRunner:
+    """Runs the [pos-dict] kernels (BPE or unigram) data-parallel over a
+    mesh with psum'd stats.  Two input modes:
+
+    - run(docs): classic doc-row layout, one document per row.
+    - run_units(docs): the PRODUCTION dedup layout — native prep/dedup
+      packs each batch's unique word-units into dense rows, and the row
+      slab is sharded over the mesh (tokenization is embarrassingly
+      parallel across rows; only statistics cross chips).
+    """
 
     def __init__(self, tokenizer, mesh: Mesh | None = None):
         from ..runtime.host import SpTokenizer
 
-        assert isinstance(tokenizer, SpTokenizer) and tokenizer.is_bpe
+        assert isinstance(tokenizer, SpTokenizer)
         self.tok = tokenizer
         self.mesh = mesh or data_parallel_mesh()
         self.n_dp = self.mesh.devices.size
@@ -50,9 +58,11 @@ class ShardedBpeRunner:
 
     def _build_step(self):
         from ..ops import bpe as bpe_ops
+        from ..ops import unigram as uni_ops
 
         tables = self.tok.tables
         a_max = self.tok.a_max
+        is_bpe = self.tok.is_bpe
 
         # Two separate jit programs, like ops/bpe.bpe_segment: compiling the
         # match walk together with its consumers makes XLA pick
@@ -60,18 +70,25 @@ class ShardedBpeRunner:
         # propagate from the inputs through both programs (GSPMD), so the
         # walk outputs stay on their shards with no resharding in between.
         walk = jax.jit(lambda x, s, l: bpe_ops._walk_impl(tables, x, s, l))
+        uni = jax.jit(
+            lambda x, l, u: uni_ops.unigram_segment(tables, x, l, u),
+            out_shardings=(
+                self._data_sh, self._data_sh, self._data_sh, self._vec_sh
+            ),
+        ) if not is_bpe else None
 
         @functools.partial(
             jax.jit,
             out_shardings=(
                 self._data_sh,  # ids
+                self._data_sh,  # starts
                 self._vec_sh,  # counts
                 self._rep_sh,  # total tokens (replicated scalar)
                 self._rep_sh,  # checksum
             ),
         )
         def resolve(m_pack, m_rank, slot_ov, is_spm, lengths, unk_id):
-            ids, _st, _en, counts, _fb = bpe_ops._resolve_impl(
+            ids, st, _en, counts, _fb = bpe_ops._resolve_impl(
                 tables, m_pack, m_rank, slot_ov, is_spm, lengths,
                 unk_id, a_max,
             )
@@ -83,11 +100,29 @@ class ShardedBpeRunner:
             # psum, and stable across shardings of the same corpus
             weights = pos * jnp.int32(-1640531527) + 1  # Knuth multiplier
             checksum = jnp.sum(masked * weights, dtype=jnp.int32)
-            return ids, counts, total, checksum
+            return ids, st, counts, total, checksum
+
+        @functools.partial(
+            jax.jit,
+            out_shardings=(self._data_sh, self._data_sh, self._vec_sh,
+                           self._rep_sh, self._rep_sh),
+        )
+        def stats_of(ids, st, counts):
+            total = jnp.sum(counts)
+            pos = jnp.arange(ids.shape[1], dtype=jnp.int32)[None, :]
+            masked = jnp.where(pos < counts[:, None], ids, 0)
+            weights = pos * jnp.int32(-1640531527) + 1
+            checksum = jnp.sum(masked * weights, dtype=jnp.int32)
+            return ids, st, counts, total, checksum
 
         def step(x_iw, is_spm, lengths, unk_id):
-            m_pack, m_rank, slot_ov = walk(x_iw, is_spm, lengths)
-            return resolve(m_pack, m_rank, slot_ov, is_spm, lengths, unk_id)
+            if is_bpe:
+                m_pack, m_rank, slot_ov = walk(x_iw, is_spm, lengths)
+                return resolve(
+                    m_pack, m_rank, slot_ov, is_spm, lengths, unk_id
+                )
+            ids, st, _en, counts = uni(x_iw, lengths, unk_id)
+            return stats_of(ids, st, counts)
 
         return step
 
@@ -99,5 +134,47 @@ class ShardedBpeRunner:
         xj = jax.device_put(jnp.asarray(x), self._data_sh)
         sj = jax.device_put(jnp.asarray(spm), self._data_sh)
         lj = jax.device_put(jnp.asarray(lengths), self._vec_sh)
-        ids, counts, total, checksum = self._step(xj, sj, lj, jnp.int32(unk_id))
+        ids, _st, counts, total, checksum = self._step(
+            xj, sj, lj, jnp.int32(unk_id)
+        )
         return ids, counts, ShardedStats(int(total), B, int(checksum))
+
+    def run_units(self, docs: list[bytes], unk_id: int = 0):
+        """Production dedup layout, rows sharded over the mesh.  Returns
+        (flat ids, bounds, need_fb, stats) — the encode_corpus_flat contract
+        plus replicated global statistics."""
+        import numpy as np
+
+        from .. import native
+        from ..runtime import dedup as dd
+
+        tok = self.tok
+        runner = tok._unit_runner()
+        nu = native.units_analyze(
+            docs, tok.n_doc, tok._sym2iw, runner.spm_iw,
+            tok.seg.use_raw_bytes, tok.seg.no_dummy_prefix, tok.seg.charmap,
+        )
+        R = max(nu.n_rows, 1)
+        Rp = -(-R // self.n_dp) * self.n_dp
+        bx = np.full((Rp, tok.n_doc), -1, np.int32)
+        bl = np.zeros(Rp, np.int32)
+        bx[: nu.n_rows] = nu.px
+        bl[: nu.n_rows] = nu.plen
+        xj = jax.device_put(jnp.asarray(bx), self._data_sh)
+        lj = jax.device_put(jnp.asarray(bl), self._vec_sh)
+        derive_spm, _po, pack_out_compact = dd._helpers()
+        sj = jax.device_put(derive_spm(xj, runner.spm_iw), self._data_sh)
+        ids, starts, counts, total, checksum = self._step(
+            xj, sj, lj, jnp.int32(unk_id)
+        )
+        fb = jnp.zeros(Rp, bool)
+        packed = np.asarray(pack_out_compact(ids, starts, counts, fb))
+        out = nu.stitch(
+            np.ascontiguousarray(packed[: nu.n_rows]), dd.ID_SHIFT
+        )
+        stats = ShardedStats(int(total), len(docs), int(checksum))
+        return (*out, nu.status, stats)
+
+
+# Backwards-compatible name (r2/r3 API); BPE-only assertion dropped.
+ShardedBpeRunner = ShardedSpRunner
