@@ -244,7 +244,7 @@ def measure_sp_e2e(name: str) -> None:
         for _ in range(2):
             c = metrics.Counters()
             t0 = time.perf_counter()
-            ids, bounds = tok.encode_corpus_flat(docs, batch_docs=16384, counters=c)
+            ids, bounds = tok.encode_corpus_flat(docs, batch_docs=65536, counters=c)
             dt = time.perf_counter() - t0
             best = max(best, nbytes / dt)
         record(f"{name}_{label}e2e_bytes_per_s", round(best, 1))
@@ -330,7 +330,7 @@ def measure_wordpiece():
         for _ in range(2):
             c = metrics.Counters()
             t0 = time.perf_counter()
-            wp.encode_corpus_flat(docs, batch_docs=16384, counters=c)
+            wp.encode_corpus_flat(docs, batch_docs=65536, counters=c)
             best = max(best, nbytes / (time.perf_counter() - t0))
         record(f"bert_{label}e2e_bytes_per_s", round(best, 1))
         record(f"bert_{label}fallback_pct",

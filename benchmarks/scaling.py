@@ -112,7 +112,7 @@ def main():
         for b in [int(x) for x in args.batches.split(",")]:
             docs = corpus_lines(b, seed=12)
             runner = ShardedBpeRunner(tok, mesh=data_parallel_mesh(1))
-            runner.run_units(docs[:64])  # warm this shape family
+            runner.run_units(docs)  # compile THIS batch's shapes
             iters = 4
             t0 = time.perf_counter()
             for _ in range(iters):

@@ -187,6 +187,9 @@ class SpTokenizer:
     byte/char BPE, BPE-with-merges, and unigram LM."""
 
     def __init__(self, model: Model, max_doc_symbols: int = 512, a_max: int | None = None):
+        from ..utils import ensure_compile_cache
+
+        ensure_compile_cache()
         assert model.seg is not None, "model has no [pos-dict] section"
         seg = model.seg
         self.model = model
@@ -536,8 +539,7 @@ class SpTokenizer:
                 c.tokens_out += int(bounds[-1])
                 parts.append((ids, bounds))
 
-        for start in range(0, len(docs_b), batch_docs):
-            chunk = docs_b[start : start + batch_docs]
+        for chunk in _batches_by_bytes(docs_b, batch_docs):
             with metrics.stage("dispatch", c):
                 state = runner.dispatch_docs(chunk, unk_id)
             c.bytes_in += sum(len(d) for d in chunk)
@@ -785,6 +787,30 @@ def _round_up_pow2(n: int, lo: int = 8) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _batches_by_bytes(
+    docs_b: list[bytes], max_docs: int, target_bytes: int = 2 << 20
+) -> list[list[bytes]]:
+    """Greedy batching by TOTAL BYTES (capped at max_docs documents).
+
+    Per-batch fixed costs (dispatch trace, tunnel d2h latency, analyze call)
+    are ~75 ms; corpora of tiny documents (dictionary lines, log records)
+    batched by document count alone produce sub-MB batches whose fixed costs
+    dominate the whole pipeline."""
+    out: list[list[bytes]] = []
+    cur: list[bytes] = []
+    nb = 0
+    for d in docs_b:
+        cur.append(d)
+        nb += len(d)
+        if nb >= target_bytes or len(cur) >= max_docs:
+            out.append(cur)
+            cur = []
+            nb = 0
+    if cur:
+        out.append(cur)
+    return out
 
 
 # Backwards-compatible alias

@@ -58,6 +58,9 @@ class WordPieceHybrid:
         from ..ops.tables import build_comb_table_cached
         from .lexer import LexerEngine
 
+        from ..utils import ensure_compile_cache
+
+        ensure_compile_cache()
         assert model.wbd is not None
         self.model = model
         self.wbd = model.wbd
@@ -338,8 +341,9 @@ class WordPieceHybrid:
                 c.tokens_out += int(bounds[-1])
                 parts.append((ids, bounds))
 
-        for start in range(0, len(docs_b), batch_docs):
-            chunk = docs_b[start : start + batch_docs]
+        from .host import _batches_by_bytes
+
+        for chunk in _batches_by_bytes(docs_b, batch_docs):
             with metrics.stage("dispatch", c):
                 state = self.dispatch(chunk)
             c.bytes_in += sum(len(d) for d in chunk)
