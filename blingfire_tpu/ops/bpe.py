@@ -124,26 +124,6 @@ def _float_desc_key(r: jax.Array) -> jax.Array:
     return ~asc  # descending
 
 
-def _lower_bound(c: jax.Array, targets: jax.Array) -> jax.Array:
-    """Row-wise lower_bound: first index i with c[b, i] >= targets[b, j].
-
-    ``c`` (B, NS) is row-monotone non-decreasing; returns (B, M) int32.
-    Unrolled binary search — ceil(log2(NS)) cheap gathers instead of a sort.
-    """
-    B, NS = c.shape
-    M = targets.shape[1]
-    lo = jnp.zeros((B, M), jnp.int32)
-    hi = jnp.full((B, M), NS, jnp.int32)
-    steps = max(1, (NS - 1).bit_length())
-    for _ in range(steps):
-        mid = (lo + hi) >> 1
-        cm = jnp.take_along_axis(c, jnp.minimum(mid, NS - 1), axis=1)
-        ge = cm >= targets
-        hi = jnp.where(ge, mid, hi)
-        lo = jnp.where(ge, lo, mid + 1)
-    return lo
-
-
 def _bitonic_swap_j(a: jax.Array, j: int) -> jax.Array:
     """Partner values v[i ^ j] along the last axis (j a power of two)."""
     B, n = a.shape
