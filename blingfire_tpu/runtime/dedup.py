@@ -52,7 +52,7 @@ PACK_ROWS = 512  # rows per dispatch (fixed shape -> one compile per kernel)
 # for huge batches (compile cost grows with row count — the gpt2 resolve
 # program takes minutes beyond 2048 rows — while execution is already
 # throughput-bound at 2048).
-ROW_BUCKETS = (128, 512, 2048)
+ROW_BUCKETS = (128, 512, 1024, 2048)
 ID_SHIFT = 21  # compact lane layout: (id + 1) | (start << ID_SHIFT)
 SHORT_LW = 16  # walk depth for packed-row region A (= prep.cpp BTL_SHORT_LW)
 
@@ -221,17 +221,26 @@ def _helpers():
 
 
 def _row_chunks(n_rows: int) -> list[int]:
-    """Split n_rows into bucketed chunk sizes (ROW_BUCKETS; the largest
-    bucket repeats for huge batches)."""
-    top = ROW_BUCKETS[-1]
+    """Split n_rows into bucketed chunk sizes.
+
+    Greedy: emit the largest bucket that fits while more than the smallest
+    bucket remains, then one rounding bucket for the tail.  Padding rows
+    cost real walk gathers (~9 ns/lane/step), so tight decomposition beats
+    one big rounded-up dispatch: 1490 rows -> [1024, 512] (3% waste), not
+    [2048] (27%)."""
     out = []
     left = max(n_rows, 1)
-    while left > top:
-        out.append(top)
-        left -= top
-    for b in ROW_BUCKETS:
-        if left <= b:
-            out.append(b)
+    while left > 0:
+        ge = [b for b in ROW_BUCKETS if b >= left]
+        le = [b for b in ROW_BUCKETS if b <= left]
+        if ge and (ge[0] - left) <= ROW_BUCKETS[0]:
+            out.append(ge[0])  # rounding waste no worse than a min bucket
+            break
+        if le:
+            out.append(le[-1])
+            left -= le[-1]
+        else:
+            out.append(ROW_BUCKETS[0])
             break
     return out
 

@@ -33,21 +33,8 @@ from ..ops import lexer as lexer_ops
 MAX_UNIT = 40  # longest word the device path handles (fallback beyond)
 LW_CLASSES = (16, MAX_UNIT)  # unit-length classes -> walk depth lw = len + 2
 ROW_W = 128
-ROW_BUCKETS = (128, 512, 2048)
 
-
-def _row_chunks(n_rows: int) -> list[int]:
-    top = ROW_BUCKETS[-1]
-    out = []
-    left = max(n_rows, 1)
-    while left > top:
-        out.append(top)
-        left -= top
-    for b in ROW_BUCKETS:
-        if left <= b:
-            out.append(b)
-            break
-    return out
+from .dedup import ROW_BUCKETS, _row_chunks  # shared bucket decomposition
 
 
 class WordPieceHybrid:
