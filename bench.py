@@ -278,7 +278,8 @@ def _measure_sp_device(name, tok, docs, iters: int = 4):
     record(f"{name}_dedup_rows", int(sum(nu.n_rows for nu in nus)))
     chunks = []
     for nu in nus:
-        parts = [(0, nu.split_rows, dedup.SHORT_LW, True),
+        parts = [(0, nu.split_rows1, dedup.LW_CLASSES[0], True),
+                 (nu.split_rows1, nu.split_rows, dedup.LW_CLASSES[1], True),
                  (nu.split_rows, nu.n_rows, None, False)]
         for plo, phi, lw, bounded in parts:
             lo = plo

@@ -143,9 +143,11 @@ class NativeUnits:
         self.n_instances = int(counts[1])
         self.n_rows = int(counts[2])
         self.total_syms = int(counts[3])
-        # rows [0, split_rows) hold only SPM-initial units <= 16 symbols
-        # (prep.cpp BTL_SHORT_LW); the device walks them at depth 16
+        # rows [0, split_rows1) hold only SPM-initial units <= 8 symbols,
+        # rows [split_rows1, split_rows) units of 9..16 symbols (prep.cpp
+        # BTL_LW1/BTL_LW2); the device walks each region at its class depth
         self.split_rows = int(counts[4])
+        self.split_rows1 = int(counts[5])
         lib = get_lib()
         self.px = np.empty((max(self.n_rows, 1), n_sym), np.int32)
         self.plen = np.zeros(max(self.n_rows, 1), np.int32)
@@ -221,7 +223,7 @@ def units_analyze(
     else:
         cc = cv = None
         cm_width = cm_min = cm_max = 0
-    counts = np.zeros(5, np.int64)
+    counts = np.zeros(6, np.int64)
     handle = lib.btl_units_analyze(
         ctypes.c_char_p(blob),
         doc_off.ctypes.data_as(ctypes.c_void_p),

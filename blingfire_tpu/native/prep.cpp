@@ -223,14 +223,15 @@ int btl_prep_sp_batch(const uint8_t* docs, const int64_t* doc_off, int n_docs,
 // (compact (id+1)|start<<shift lanes) and writes flat ids + per-doc bounds
 // in one pass; free() releases the state (stitch frees implicitly).
 
-// Units no longer than this (and SPM-initial) go to packed-row region A,
-// which the device walks with a short unrolled kernel.  Must match
-// dedup.SHORT_LW on the Python side.
-static const int BTL_SHORT_LW = 16;
+// SPM-initial units are packed into length-class row regions walked with
+// short unrolled kernels.  Must match dedup.LW_CLASSES on the Python side.
+static const int BTL_LW1 = 8;   // region A1: units <= 8 symbols
+static const int BTL_LW2 = 16;  // region A2: units 9..16 symbols
 
 struct BtlUnitsState {
     int n_docs = 0, n_sym = 0;
-    int split_rows = 0;
+    int split_rows1 = 0;  // end of region A1
+    int split_rows = 0;   // end of region A2 (== A1 end when empty)
     std::vector<int32_t> u_syms;       // concatenated unique-unit iw symbols
     std::vector<int32_t> u_soff;       // (U+1) offsets into u_syms
     std::vector<int32_t> u_row, u_off; // packing position per unique unit
@@ -288,7 +289,8 @@ static int32_t unit_intern(BtlUnitsState* st, const int32_t* s, int len) {
 }
 
 // out_counts: [0]=U unique units, [1]=I instances, [2]=R packed rows,
-//             [3]=total kept symbols (an upper bound on emitted tokens)
+//             [3]=total kept symbols (an upper bound on emitted tokens),
+//             [4]=end row of length-class region A2, [5]=end of region A1
 void* btl_units_analyze(const uint8_t* docs, const int64_t* doc_off,
                         int n_docs, int use_raw_bytes, int no_dummy_prefix,
                         const int32_t* cm_counts, const int32_t* cm_values,
@@ -370,13 +372,20 @@ void* btl_units_analyze(const uint8_t* docs, const int64_t* doc_off,
         return st->u_soff[u + 1] > st->u_soff[u] &&
                st->u_syms[st->u_soff[u]] == (int32_t)spm_iw;
     };
-    // region A
+    // region A1: SPM-initial units <= BTL_LW1
     for (int u = 0; u < U; ++u) {
         int len = st->u_soff[u + 1] - st->u_soff[u];
-        if (spm0_of(u) && len <= BTL_SHORT_LW) place(u, len, false);
+        if (spm0_of(u) && len <= BTL_LW1) place(u, len, false);
+    }
+    st->split_rows1 = row + 1;
+    curp = n_sym + 1;  // force a fresh row at each region boundary
+    // region A2: SPM-initial units in (BTL_LW1, BTL_LW2]
+    for (int u = 0; u < U; ++u) {
+        int len = st->u_soff[u + 1] - st->u_soff[u];
+        if (spm0_of(u) && len > BTL_LW1 && len <= BTL_LW2) place(u, len, false);
     }
     st->split_rows = row + 1;
-    curp = n_sym + 1;  // force a fresh row at the region boundary
+    curp = n_sym + 1;
     // region B: non-SPM-initial first (each opens a row), long SPM units fill
     for (int u = 0; u < U; ++u) {
         int len = st->u_soff[u + 1] - st->u_soff[u];
@@ -384,7 +393,7 @@ void* btl_units_analyze(const uint8_t* docs, const int64_t* doc_off,
     }
     for (int u = 0; u < U; ++u) {
         int len = st->u_soff[u + 1] - st->u_soff[u];
-        if (spm0_of(u) && len > BTL_SHORT_LW) place(u, len, false);
+        if (spm0_of(u) && len > BTL_LW2) place(u, len, false);
     }
     st->R = row + 1;
     st->row_unit_off.assign(st->R + 1, 0);
@@ -397,6 +406,7 @@ void* btl_units_analyze(const uint8_t* docs, const int64_t* doc_off,
     out_counts[2] = st->R;
     out_counts[3] = st->total_syms;
     out_counts[4] = st->split_rows;
+    out_counts[5] = st->split_rows1;
     return st;
 }
 

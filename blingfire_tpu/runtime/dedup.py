@@ -54,7 +54,8 @@ PACK_ROWS = 512  # rows per dispatch (fixed shape -> one compile per kernel)
 # throughput-bound at 2048).
 ROW_BUCKETS = (128, 512, 1024, 2048)
 ID_SHIFT = 21  # compact lane layout: (id + 1) | (start << ID_SHIFT)
-SHORT_LW = 16  # walk depth for packed-row region A (= prep.cpp BTL_SHORT_LW)
+LW_CLASSES = (8, 16)  # packed-row region walk depths (= prep.cpp BTL_LW1/BTL_LW2)
+SHORT_LW = 16  # backwards-compat alias for the widest short class
 
 
 @dataclass
@@ -295,7 +296,7 @@ class UnitRunner:
 
         _ds, _po, pack_out_compact = _helpers()
         N = self.tok.n_doc
-        variants = [(b, SHORT_LW, True) for b in buckets]
+        variants = [(b, lw, True) for lw in LW_CLASSES for b in buckets]
         variants += [(b, None, False) for b in buckets]
         for b, lw, bounded in variants:
             bx = np.full((b, N), -1, np.int32)
@@ -325,11 +326,12 @@ class UnitRunner:
             tok.seg.use_raw_bytes, tok.seg.no_dummy_prefix, tok.seg.charmap,
         )
         pending = []  # (actual_rows, device handle)
-        # region A rows hold only short SPM-initial units: the short
-        # unrolled walk is exact there (bounded by the unit length);
-        # region B rows get the full-depth walk
+        # length-class regions hold only SPM-initial units no longer than
+        # their class depth: the short unrolled walks are exact there
+        # (bounded by the unit length); region B rows get the full depth
         parts = [
-            (0, nu.split_rows, SHORT_LW, True),
+            (0, nu.split_rows1, LW_CLASSES[0], True),
+            (nu.split_rows1, nu.split_rows, LW_CLASSES[1], True),
             (nu.split_rows, nu.n_rows, None, False),
         ]
         for plo, phi, lw, bounded in parts:
