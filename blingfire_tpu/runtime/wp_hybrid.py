@@ -177,50 +177,60 @@ class WordPieceHybrid:
         )
 
         # ---- dense packing into ROW_W-wide rows, by unit-length class ----
+        # Units are grouped by EXACT ext length: a row of ext-e units holds
+        # floor(ROW_W / e) of them at stride e, so the whole layout is a few
+        # dozen pure-numpy scatters (a per-unit Python loop here cost more
+        # than the device pass on low-redundancy corpora).
         ulen = np.diff(u_soff)
         ext = ulen + 2
         u_row = np.zeros(max(U, 1), np.int32)
         u_off = np.zeros(max(U, 1), np.int32)
-        fn2ini = self.engine.fn2ini
+        fn2ini_arr = np.array(
+            [f if f is not None and f >= 0 else -1
+             for f in self.engine.fn2ini] or [-1],
+            np.int32,
+        )
         iw_flat = self._map_raw(u_syms[:S]) if S else u_syms[:0]
 
-        rows_x: list[np.ndarray] = []
-        rows_init: list[np.ndarray] = []
+        blocks_x: list[np.ndarray] = []
+        blocks_i: list[np.ndarray] = []
         class_rows: list[tuple[int, int, int]] = []  # (row_lo, row_hi, lw)
+        base_row = 0
         for cap_len in LW_CLASSES:
-            lo_row = len(rows_x)
+            lo_row = base_row
             members = np.flatnonzero(
                 (ulen <= cap_len)
                 & (ulen > (0 if cap_len == LW_CLASSES[0] else LW_CLASSES[0]))
             )
-            cur = ROW_W + 1
-            x_row = None
-            init_row = None
-            for u in members:
-                e = int(ext[u])
-                if cur + e > ROW_W:
-                    if x_row is not None:
-                        rows_x.append(x_row)
-                        rows_init.append(init_row)
-                    x_row = np.full(ROW_W, -1, np.int32)
-                    init_row = np.full(ROW_W, -1, np.int32)
-                    cur = 0
-                o = cur
-                u_row[u] = len(rows_x)
-                u_off[u] = o  # content coords == L-anchor lane index
-                x_row[o] = self._l_iw
-                x_row[o + 1 : o + 1 + ulen[u]] = iw_flat[u_soff[u] : u_soff[u + 1]]
-                x_row[o + 1 + ulen[u]] = self._r_iw
-                fini = fn2ini[int(u_fn[u])]
-                init_row[o : o + e] = fini if fini is not None else -1
-                cur += e
-            if x_row is not None:
-                rows_x.append(x_row)
-                rows_init.append(init_row)
-            class_rows.append((lo_row, len(rows_x), cap_len + 2))
-        R = len(rows_x)
-        px = np.stack(rows_x) if R else np.zeros((0, ROW_W), np.int32)
-        pinit = np.stack(rows_init) if R else np.zeros((0, ROW_W), np.int32)
+            for e in np.unique(ext[members]) if len(members) else []:
+                grp = members[ext[members] == e]
+                e = int(e)
+                per = ROW_W // e
+                nrows = -(-len(grp) // per)
+                k = np.arange(len(grp))
+                r = (k // per).astype(np.int32)
+                o = ((k % per) * e).astype(np.int32)
+                u_row[grp] = base_row + r
+                u_off[grp] = o
+                X = np.full((nrows, ROW_W), -1, np.int32)
+                I = np.full((nrows, ROW_W), -1, np.int32)
+                X[r, o] = self._l_iw
+                X[r, o + e - 1] = self._r_iw
+                starts = u_soff[grp]
+                for j in range(e - 2):
+                    X[r, o + 1 + j] = iw_flat[starts + j]
+                finis = fn2ini_arr[np.clip(u_fn[grp], 0, len(fn2ini_arr) - 1)]
+                for j in range(e):
+                    I[r, o + j] = finis
+                blocks_x.append(X)
+                blocks_i.append(I)
+                base_row += nrows
+            class_rows.append((lo_row, base_row, cap_len + 2))
+        R = base_row
+        px = (np.concatenate(blocks_x) if blocks_x
+              else np.zeros((0, ROW_W), np.int32))
+        pinit = (np.concatenate(blocks_i) if blocks_i
+                 else np.zeros((0, ROW_W), np.int32))
 
         pending = []
         for lo_row, hi_row, lw in class_rows:
