@@ -105,27 +105,27 @@ def main():
                        "is NOT the multi-chip number; checksum_consistent is "
                        "the correctness signal")
     else:
-        # single-chip batch sweep through the PRODUCTION dedup layout
-        # (run_units: native prep/dedup + sharded packed rows + native stitch)
+        # single-chip batch sweep through the PRODUCTION pipeline
+        # (encode_corpus_flat: native prep/dedup, length-classed bucketed
+        # dispatches, async d2h, native stitch)
         tok._unit_runner().warm()
         sweep = {}
         for b in [int(x) for x in args.batches.split(",")]:
             docs = corpus_lines(b, seed=12)
-            runner = ShardedBpeRunner(tok, mesh=data_parallel_mesh(1))
-            runner.run_units(docs)  # compile THIS batch's shapes
+            tok.encode_corpus_flat(docs, batch_docs=1 << 17)  # compile/warm
             iters = 4
             t0 = time.perf_counter()
             for _ in range(iters):
-                ids, bounds, need, status, stats = runner.run_units(docs)
+                ids, bounds = tok.encode_corpus_flat(docs, batch_docs=1 << 17)
             dt = (time.perf_counter() - t0) / iters
             total_bytes = sum(len(d) for d in docs)
             sweep[b] = total_bytes / dt
             print(f"batch={b:6d}  {sweep[b] / 1e6:8.2f} MB/s  "
-                  f"tokens={stats.total_tokens}")
+                  f"tokens={len(ids)}")
         out["batch_sweep_mb_s"] = {k: round(v / 1e6, 2) for k, v in sweep.items()}
         peak = max(sweep.values())
         out["saturated_mb_s_per_chip"] = round(peak / 1e6, 2)
-        out["note"] = ("production dedup layout (run_units), end to end incl. "
+        out["note"] = ("production pipeline (encode_corpus_flat), end to end incl. "
                        "native prep/dedup and stitch; saturation batch is "
                        "where per-chip rate stops growing")
 
