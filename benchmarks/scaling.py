@@ -75,22 +75,18 @@ def main():
         while n <= n_max:
             docs = corpus_lines(args.batch * n, seed=11)
             runner = ShardedBpeRunner(tok, mesh=data_parallel_mesh(n))
-            runner.run(docs[: runner.n_dp * 8])  # warmup/compile
-            import numpy as _np
+            runner.run_units(docs[: runner.n_dp * 8])  # warmup/compile
+            runner.run_units(docs)  # compile this batch's shapes
 
             t0 = time.perf_counter()
-            ids, counts, stats = runner.run(docs)
-            # host READ, not block_until_ready: on the tunneled TPU backend
-            # block_until_ready can return before queued executions finish
-            _ = int(_np.asarray(counts)[0])
+            ids, bounds, need, status, stats = runner.run_units(docs)
             dt = time.perf_counter() - t0
             total_bytes = sum(len(d) for d in docs)
             results[n] = total_bytes / dt
-            # same leading shard of the corpus => same per-shard checksum on
-            # every mesh size only when results are sharding-independent; we
-            # compare the 1-device checksum of the first batch's docs instead
+            # fixed-size probe corpus: its packed-row checksum must be
+            # identical on every mesh size (sharding independence)
             docs1 = corpus_lines(args.batch, seed=11)
-            _, _, s1 = runner.run(docs1)
+            _, _, _, _, s1 = runner.run_units(docs1)
             checksums[n] = s1.checksum
             print(f"devices={n:2d}  {results[n] / 1e6:8.2f} MB/s  "
                   f"tokens={stats.total_tokens}  checksum={s1.checksum}")
