@@ -1,7 +1,12 @@
 """Real (non-synthetic) benchmark corpus, assembled from the reference
-repository's own text: READMEs, docs, and the xlnet SentencePiece dictionary
-(real tokens with heavy Unicode).  VERDICT r3 weak #7: synthetic Zipf text
-flatters the dedup ratio; this corpus has far lower redundancy.
+repository's own text: READMEs, docs, lex/dict sources, and the SentencePiece
+dictionaries (real tokens with heavy Unicode).  VERDICT r3 weak #7: synthetic
+Zipf text flatters the dedup ratio; this corpus has far lower redundancy.
+
+VERDICT r4 #1c: the former ~1 MB corpus was one dispatch of pure latency,
+not steady state.  This version concatenates EVERY text file in the
+reference checkout (~27 MB distinct) and cycles the distinct stream until
+the target size (default 32 MB) is reached.
 """
 
 from __future__ import annotations
@@ -11,19 +16,39 @@ import os
 
 _REF = "/root/reference"
 
+_PATTERNS = (
+    "README.md",
+    "*.md",
+    "doc/*.txt",
+    "ldbsrc/**/*.txt",
+    "ldbsrc/**/*.TXT",
+    "ldbsrc/**/*.utf8",
+    "nuget/**/*.md",
+    "scripts/*.txt",
+    "wasm/*.md",
+)
 
-def real_lines(max_bytes: int = 3 << 20) -> list[bytes]:
-    """Deterministic list of real text lines (UTF-8 bytes), ~max_bytes total."""
-    files: list[str] = [os.path.join(_REF, "README.md")]
-    files += sorted(glob.glob(os.path.join(_REF, "doc", "*.txt")))
-    files += sorted(glob.glob(os.path.join(_REF, "ldbsrc", "*", "README.TXT")))
-    files += sorted(glob.glob(os.path.join(_REF, "nuget", "**", "*.md"),
-                              recursive=True))
-    # real vocabulary text: one line per sentencepiece entry (token \t id \t p)
-    files.append(os.path.join(_REF, "ldbsrc", "xlnet", "pos.dict.utf8"))
-    out: list[bytes] = []
+
+def _files() -> list[str]:
+    seen: set[str] = set()
+    out: list[str] = []
+    for pat in _PATTERNS:
+        for f in sorted(glob.glob(os.path.join(_REF, pat), recursive=True)):
+            if os.path.isfile(f) and f not in seen:
+                seen.add(f)
+                out.append(f)
+    return out
+
+
+def real_lines(max_bytes: int = 32 << 20) -> list[bytes]:
+    """Deterministic list of real text lines (UTF-8 bytes), ~max_bytes total.
+
+    One document per non-empty line.  When the distinct stream is shorter
+    than max_bytes, it repeats from the start (distinct files cycled — the
+    steady-state rule from VERDICT r4)."""
+    distinct: list[bytes] = []
     total = 0
-    for f in files:
+    for f in _files():
         try:
             data = open(f, "rb").read()
         except OSError:
@@ -32,8 +57,17 @@ def real_lines(max_bytes: int = 3 << 20) -> list[bytes]:
             ln = ln.strip()
             if not ln:
                 continue
-            out.append(ln)
+            distinct.append(ln)
             total += len(ln)
             if total >= max_bytes:
-                return out
+                return distinct
+    if not distinct:
+        return []
+    out = list(distinct)
+    i = 0
+    while total < max_bytes:
+        ln = distinct[i % len(distinct)]
+        out.append(ln)
+        total += len(ln)
+        i += 1
     return out

@@ -130,6 +130,7 @@ class Model:
     i2w: I2wModel | None = None
     extra: dict = field(default_factory=dict)
     source_key: str | None = None  # content hash, used for derived-table caching
+    source_path: str | None = None  # .bin file path (None for load_bytes)
 
     @property
     def has_seg(self) -> bool:
@@ -261,4 +262,6 @@ def load_bytes(image: bytes, validate: bool = True, use_cache: bool = True) -> M
 
 def load_model(path: str, validate: bool = True, use_cache: bool = True) -> Model:
     with open(path, "rb") as f:
-        return load_bytes(f.read(), validate=validate, use_cache=use_cache)
+        model = load_bytes(f.read(), validate=validate, use_cache=use_cache)
+    model.source_path = path
+    return model

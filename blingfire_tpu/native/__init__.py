@@ -39,13 +39,20 @@ def get_lib():
         lib = ctypes.cdll.LoadLibrary(_SO)
         lib.btl_prep_sp_batch.restype = ctypes.c_int
         lib.btl_version.restype = ctypes.c_int
-        lib.btl_units_analyze.restype = ctypes.c_void_p
-        lib.btl_units_analyze.argtypes = [
+        lib.btl_units_analyze_c.restype = ctypes.c_void_p
+        lib.btl_units_analyze_c.argtypes = [
+            ctypes.c_void_p,
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ]
+        lib.btl_ucache_new.restype = ctypes.c_void_p
+        lib.btl_ucache_new.argtypes = []
+        lib.btl_ucache_free.restype = None
+        lib.btl_ucache_free.argtypes = [ctypes.c_void_p]
+        lib.btl_ucache_stats.restype = None
+        lib.btl_ucache_stats.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.btl_units_emit.restype = None
         lib.btl_units_emit.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_void_p, ctypes.c_void_p]
@@ -148,6 +155,9 @@ class NativeUnits:
         # BTL_LW1/BTL_LW2); the device walks each region at its class depth
         self.split_rows = int(counts[4])
         self.split_rows1 = int(counts[5])
+        # units packed into THIS batch's rows (== n_units without a shared
+        # cache; the cross-batch cache-miss count with one)
+        self.n_local = int(counts[6]) if len(counts) > 6 else self.n_units
         lib = get_lib()
         self.px = np.empty((max(self.n_rows, 1), n_sym), np.int32)
         self.plen = np.zeros(max(self.n_rows, 1), np.int32)
@@ -196,6 +206,39 @@ class NativeUnits:
             pass
 
 
+class UnitCache:
+    """Cross-batch unit->ids cache (prep.cpp::BtlUnitCache).
+
+    Pass to :func:`units_analyze` to make the unique-unit dedup CUMULATIVE
+    over a corpus: a batch only packs units never resolved before; the
+    stitch stores fresh resolutions and reads recurring units straight from
+    the cache.  Batches sharing a cache must be stitched in dispatch order
+    (encode_corpus_flat's in-order pipeline guarantees this)."""
+
+    def __init__(self):
+        lib = get_lib()
+        assert lib is not None
+        self._handle = lib.btl_ucache_new()
+
+    def stats(self) -> dict:
+        s = np.zeros(4, np.int64)
+        get_lib().btl_ucache_stats(self._handle,
+                                   s.ctypes.data_as(ctypes.c_void_p))
+        return {"units": int(s[0]), "resolved": int(s[1]),
+                "arena_ids": int(s[2]), "bytes": int(s[3])}
+
+    def close(self):
+        if self._handle is not None:
+            get_lib().btl_ucache_free(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def units_analyze(
     docs: list[bytes],
     n_sym: int,
@@ -204,6 +247,7 @@ def units_analyze(
     use_raw_bytes: bool,
     no_dummy_prefix: bool,
     charmap=None,
+    cache: UnitCache | None = None,
 ) -> NativeUnits:
     """Full native prep -> unit split -> dedup -> dense packing for a batch."""
     lib = get_lib()
@@ -223,8 +267,9 @@ def units_analyze(
     else:
         cc = cv = None
         cm_width = cm_min = cm_max = 0
-    counts = np.zeros(6, np.int64)
-    handle = lib.btl_units_analyze(
+    counts = np.zeros(7, np.int64)
+    handle = lib.btl_units_analyze_c(
+        cache._handle if cache is not None else None,
         ctypes.c_char_p(blob),
         doc_off.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_int(B),
@@ -242,7 +287,9 @@ def units_analyze(
         counts.ctypes.data_as(ctypes.c_void_p),
     )
     assert handle, "btl_units_analyze failed"
-    return NativeUnits(handle, B, n_sym, counts)
+    nu = NativeUnits(handle, B, n_sym, counts)
+    nu._cache_ref = cache  # keep the cache alive while the state lives
+    return nu
 
 
 # -- full native host runtime (libbtf_runtime.so, reference-compatible C ABI) --

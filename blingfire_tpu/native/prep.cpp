@@ -228,22 +228,51 @@ int btl_prep_sp_batch(const uint8_t* docs, const int64_t* doc_off, int n_docs,
 static const int BTL_LW1 = 8;   // region A1: units <= 8 symbols
 static const int BTL_LW2 = 16;  // region A2: units 9..16 symbols
 
+// Cross-batch unit cache (VERDICT r4 #1b): interned units + their resolved
+// token ids persist across batches, so dedup is CUMULATIVE over a corpus —
+// a batch only dispatches units never resolved before.  Resolution is
+// context-free under the chunk-safe vocabulary property (the same property
+// that licenses per-batch dedup), so a cached (unit -> ids) entry is exact
+// wherever the unit recurs.
+struct BtlUnitCache {
+    std::vector<int32_t> u_syms;       // concatenated unique-unit iw symbols
+    std::vector<int32_t> u_soff;       // (U+1) offsets into u_syms
+    std::vector<int64_t> hash_tab;     // open addressing: -1 empty, else unit id
+    int64_t hash_mask = 0;
+    // resolution state per unit:
+    //   r_off < 0                unresolved
+    //   r_off >= 0, r_cnt >= 0   ids = r_ids[r_off .. r_off + r_cnt)
+    //   r_off >= 0, r_cnt < 0    resolved-fallback (device flagged the row)
+    std::vector<int64_t> r_off;
+    std::vector<int32_t> r_cnt;
+    std::vector<uint8_t> pending;      // packed by an in-flight batch
+    std::vector<int32_t> r_ids;        // arena of resolved token ids
+    BtlUnitCache() { u_soff.push_back(0); }
+    int32_t units() const { return (int32_t)u_soff.size() - 1; }
+};
+
 struct BtlUnitsState {
     int n_docs = 0, n_sym = 0;
     int split_rows1 = 0;  // end of region A1
     int split_rows = 0;   // end of region A2 (== A1 end when empty)
-    std::vector<int32_t> u_syms;       // concatenated unique-unit iw symbols
-    std::vector<int32_t> u_soff;       // (U+1) offsets into u_syms
-    std::vector<int32_t> u_row, u_off; // packing position per unique unit
-    std::vector<int32_t> inst_unit;    // (I) unit index per instance, doc-major
+    BtlUnitCache* cache = nullptr;     // shared intern/result store
+    bool owns_cache = false;           // private cache (classic single-batch)
+    std::vector<int32_t> local_units;  // units packed into THIS batch's rows
+    std::vector<int32_t> u_row, u_off; // packing position per local unit idx
+    std::vector<int32_t> inst_unit;    // (I) GLOBAL unit id per instance
     std::vector<int64_t> doc_inst_off; // (B+1)
     std::vector<uint8_t> status;       // (B) 0 ok / 1 invalid / 2 overflow
     std::vector<int32_t> row_unit_off; // (R+1) units per row, offset-ordered
-    std::vector<int32_t> row_units;    // unit ids sorted by (row, off)
-    std::vector<int64_t> hash_tab;     // open addressing: -1 empty, else unit id
-    int64_t hash_mask = 0;
+    std::vector<int32_t> row_units;    // LOCAL unit idx sorted by (row, off)
     int64_t total_syms = 0;            // sum of kept per-doc symbol counts
     int R = 0;
+    ~BtlUnitsState() {
+        if (owns_cache) { delete cache; return; }
+        // freed without stitch (error path): release in-flight claims so a
+        // later batch can pack these units again
+        for (int32_t u : local_units)
+            if (cache->r_off[u] < 0) cache->pending[u] = 0;
+    }
 };
 
 static uint64_t hash_syms(const int32_t* s, int len) {
@@ -253,57 +282,102 @@ static uint64_t hash_syms(const int32_t* s, int len) {
     return h ^ (h >> 29);
 }
 
-static void units_rehash(BtlUnitsState* st, int64_t cap) {
-    st->hash_tab.assign(cap, -1);
-    st->hash_mask = cap - 1;
-    int U = (int)st->u_soff.size() - 1;
+static void units_rehash(BtlUnitCache* c, int64_t cap) {
+    c->hash_tab.assign(cap, -1);
+    c->hash_mask = cap - 1;
+    int U = c->units();
     for (int u = 0; u < U; ++u) {
-        const int32_t* s = st->u_syms.data() + st->u_soff[u];
-        int len = st->u_soff[u + 1] - st->u_soff[u];
-        uint64_t h = hash_syms(s, len) & st->hash_mask;
-        while (st->hash_tab[h] >= 0) h = (h + 1) & st->hash_mask;
-        st->hash_tab[h] = u;
+        const int32_t* s = c->u_syms.data() + c->u_soff[u];
+        int len = c->u_soff[u + 1] - c->u_soff[u];
+        uint64_t h = hash_syms(s, len) & c->hash_mask;
+        while (c->hash_tab[h] >= 0) h = (h + 1) & c->hash_mask;
+        c->hash_tab[h] = u;
     }
 }
 
-// Returns the unique-unit id for syms[0..len), inserting if unseen.
-static int32_t unit_intern(BtlUnitsState* st, const int32_t* s, int len) {
-    if ((int64_t)(st->u_soff.size()) * 2 + 2 > st->hash_mask)
-        units_rehash(st, (st->hash_mask + 1) * 2);
-    uint64_t h = hash_syms(s, len) & st->hash_mask;
+// Returns the unique-unit id for syms[0..len), inserting if unseen
+// (*fresh = true for a newly interned unit).
+static int32_t unit_intern(BtlUnitCache* c, const int32_t* s, int len,
+                           bool* fresh) {
+    if ((int64_t)(c->u_soff.size()) * 2 + 2 > c->hash_mask)
+        units_rehash(c, (c->hash_mask + 1) * 2);
+    uint64_t h = hash_syms(s, len) & c->hash_mask;
     while (true) {
-        int64_t u = st->hash_tab[h];
+        int64_t u = c->hash_tab[h];
         if (u < 0) break;
-        int ulen = st->u_soff[u + 1] - st->u_soff[u];
+        int ulen = c->u_soff[u + 1] - c->u_soff[u];
         if (ulen == len &&
-            memcmp(st->u_syms.data() + st->u_soff[u], s,
-                   (size_t)len * 4) == 0)
+            memcmp(c->u_syms.data() + c->u_soff[u], s,
+                   (size_t)len * 4) == 0) {
+            *fresh = false;
             return (int32_t)u;
-        h = (h + 1) & st->hash_mask;
+        }
+        h = (h + 1) & c->hash_mask;
     }
-    int32_t u = (int32_t)st->u_soff.size() - 1;
-    st->u_syms.insert(st->u_syms.end(), s, s + len);
-    st->u_soff.push_back((int32_t)st->u_syms.size());
-    st->hash_tab[h] = u;
+    int32_t u = c->units();
+    c->u_syms.insert(c->u_syms.end(), s, s + len);
+    c->u_soff.push_back((int32_t)c->u_syms.size());
+    c->r_off.push_back(-1);
+    c->r_cnt.push_back(0);
+    c->pending.push_back(0);
+    c->hash_tab[h] = u;
+    *fresh = true;
     return u;
 }
 
-// out_counts: [0]=U unique units, [1]=I instances, [2]=R packed rows,
+// Persistent cross-batch unit cache handles.
+void* btl_ucache_new() {
+    BtlUnitCache* c = new BtlUnitCache();
+    units_rehash(c, 1 << 14);
+    return c;
+}
+
+void btl_ucache_free(void* h) { delete (BtlUnitCache*)h; }
+
+// out_stats: [0]=interned units, [1]=resolved units, [2]=arena ids,
+//            [3]=approx bytes held
+void btl_ucache_stats(void* h, int64_t* out_stats) {
+    BtlUnitCache* c = (BtlUnitCache*)h;
+    int U = c->units();
+    int64_t resolved = 0;
+    for (int u = 0; u < U; ++u) resolved += c->r_off[u] >= 0;
+    out_stats[0] = U;
+    out_stats[1] = resolved;
+    out_stats[2] = (int64_t)c->r_ids.size();
+    out_stats[3] = (int64_t)(c->u_syms.size() + c->r_ids.size()) * 4 +
+                   (int64_t)(c->hash_tab.size() + c->r_off.size()) * 8;
+}
+
+// out_counts: [0]=U units referenced, [1]=I instances, [2]=R packed rows,
 //             [3]=total kept symbols (an upper bound on emitted tokens),
-//             [4]=end row of length-class region A2, [5]=end of region A1
-void* btl_units_analyze(const uint8_t* docs, const int64_t* doc_off,
-                        int n_docs, int use_raw_bytes, int no_dummy_prefix,
-                        const int32_t* cm_counts, const int32_t* cm_values,
-                        int cm_width, int cm_min, int cm_max,
-                        const int32_t* sym2iw, int64_t sym2iw_len,
-                        int spm_iw, int n_sym, int64_t* out_counts) {
+//             [4]=end row of length-class region A2, [5]=end of region A1,
+//             [6]=units newly packed this batch (cache misses)
+//
+// `cache` may be NULL (a private single-batch cache is used — the classic
+// behavior).  With a shared cache, only units with no resolution and no
+// in-flight packing are packed into this batch's rows; everything else is
+// stitched from the cache (batches must be stitched in dispatch order).
+void* btl_units_analyze_c(void* cache_h, const uint8_t* docs,
+                          const int64_t* doc_off,
+                          int n_docs, int use_raw_bytes, int no_dummy_prefix,
+                          const int32_t* cm_counts, const int32_t* cm_values,
+                          int cm_width, int cm_min, int cm_max,
+                          const int32_t* sym2iw, int64_t sym2iw_len,
+                          int spm_iw, int n_sym, int64_t* out_counts) {
     BtlUnitsState* st = new BtlUnitsState();
     st->n_docs = n_docs;
     st->n_sym = n_sym;
     st->status.assign(n_docs, 0);
     st->doc_inst_off.assign(n_docs + 1, 0);
-    st->u_soff.assign(1, 0);
-    units_rehash(st, 1 << 14);
+    if (cache_h) {
+        st->cache = (BtlUnitCache*)cache_h;
+        st->owns_cache = false;
+    } else {
+        st->cache = new BtlUnitCache();
+        st->owns_cache = true;
+        units_rehash(st->cache, 1 << 14);
+    }
+    BtlUnitCache* c = st->cache;
 
     int64_t max_doc = 0;
     for (int d = 0; d < n_docs; ++d) {
@@ -323,20 +397,38 @@ void* btl_units_analyze(const uint8_t* docs, const int64_t* doc_off,
                               cm_values, cm_width, cm_min, cm_max, buf.data(),
                               nullptr, nbuf.data(), nullptr, &cur, &curo);
         if (k < 0) { st->status[d] = 1; continue; }
-        if (k > n_sym) { st->status[d] = 2; continue; }
-        st->total_syms += k;
         // dense remap + SPM flags (unit boundaries use RAW symbols; dedup
         // keys use iw sequences — exactly dedup.split_units semantics)
         for (int i = 0; i < k; ++i) {
-            int32_t c = cur[i];
-            iw[i] = (c >= 0 && c < sym2iw_len) ? sym2iw[c] : -1;
-            spmf[i] = (c == SPM) ? 1 : 0;
+            int32_t cch = cur[i];
+            iw[i] = (cch >= 0 && cch < sym2iw_len) ? sym2iw[cch] : -1;
+            spmf[i] = (cch == SPM) ? 1 : 0;
         }
-        // units: maximal [SPM-run +] non-SPM-run blocks
+        // Document LENGTH is no limit here — per-unit resolution never
+        // materializes the doc as a row (chunk-safe factorization), so a
+        // long doc is just a longer unit stream.  Only a single UNIT wider
+        // than a device row must fall back (status 2): pre-scan.
         int start = 0;
+        bool giant = false;
         for (int i = 1; i <= k; ++i) {
             if (i == k || (spmf[i] && !spmf[i - 1])) {
-                int32_t u = unit_intern(st, iw.data() + start, i - start);
+                if (i - start > n_sym) { giant = true; break; }
+                start = i;
+            }
+        }
+        if (giant) { st->status[d] = 2; continue; }
+        st->total_syms += k;
+        // units: maximal [SPM-run +] non-SPM-run blocks
+        start = 0;
+        for (int i = 1; i <= k; ++i) {
+            if (i == k || (spmf[i] && !spmf[i - 1])) {
+                bool fresh = false;
+                int32_t u = unit_intern(c, iw.data() + start, i - start,
+                                        &fresh);
+                if (fresh || (c->r_off[u] < 0 && !c->pending[u])) {
+                    st->local_units.push_back(u);
+                    c->pending[u] = 1;
+                }
                 st->inst_unit.push_back(u);
                 start = i;
             }
@@ -344,69 +436,86 @@ void* btl_units_analyze(const uint8_t* docs, const int64_t* doc_off,
     }
     st->doc_inst_off[n_docs] = (int64_t)st->inst_unit.size();
 
-    // Greedy dense packing into two row regions (layout rules as before:
-    // non-SPM-initial units may only sit at row offset 0; SPM-initial units
-    // fill left to right).  Region A = SPM-initial units of length <=
-    // BTL_SHORT_LW, packed into rows [0, split_rows): the device walks
-    // those rows with the short unrolled kernel (a match can never out-run
-    // its unit under chunk-safe vocabularies).  Region B = everything else.
-    int U = (int)st->u_soff.size() - 1;
-    st->u_row.assign(U, 0);
-    st->u_off.assign(U, 0);
-    st->row_units.reserve(U);
+    // Greedy dense packing of the LOCAL (unresolved) units into two row
+    // regions (layout rules as before: non-SPM-initial units may only sit at
+    // row offset 0; SPM-initial units fill left to right).  Region A =
+    // SPM-initial units of length <= the class depth, packed into rows
+    // [0, split_rows): the device walks those rows with the short unrolled
+    // kernel (a match can never out-run its unit under chunk-safe
+    // vocabularies).  Region B = everything else.
+    int NL = (int)st->local_units.size();
+    st->u_row.assign(NL, 0);
+    st->u_off.assign(NL, 0);
+    st->row_units.reserve(NL);
     std::vector<int32_t> row_count;
     int row = -1, curp = n_sym + 1;
-    auto place = [&](int32_t u, int len, bool open_row) {
+    auto place = [&](int32_t li, int len, bool open_row) {
         if (open_row || curp + len > n_sym) {
             ++row;
             curp = 0;
             row_count.push_back(0);
         }
-        st->u_row[u] = row;
-        st->u_off[u] = curp;
+        st->u_row[li] = row;
+        st->u_off[li] = curp;
         curp += len;
-        st->row_units.push_back(u);
+        st->row_units.push_back(li);
         ++row_count.back();
     };
-    auto spm0_of = [&](int u) {
-        return st->u_soff[u + 1] > st->u_soff[u] &&
-               st->u_syms[st->u_soff[u]] == (int32_t)spm_iw;
+    auto len_of = [&](int li) {
+        int32_t u = st->local_units[li];
+        return c->u_soff[u + 1] - c->u_soff[u];
+    };
+    auto spm0_of = [&](int li) {
+        int32_t u = st->local_units[li];
+        return c->u_soff[u + 1] > c->u_soff[u] &&
+               c->u_syms[c->u_soff[u]] == (int32_t)spm_iw;
     };
     // region A1: SPM-initial units <= BTL_LW1
-    for (int u = 0; u < U; ++u) {
-        int len = st->u_soff[u + 1] - st->u_soff[u];
-        if (spm0_of(u) && len <= BTL_LW1) place(u, len, false);
-    }
+    for (int li = 0; li < NL; ++li)
+        if (spm0_of(li) && len_of(li) <= BTL_LW1) place(li, len_of(li), false);
     st->split_rows1 = row + 1;
     curp = n_sym + 1;  // force a fresh row at each region boundary
     // region A2: SPM-initial units in (BTL_LW1, BTL_LW2]
-    for (int u = 0; u < U; ++u) {
-        int len = st->u_soff[u + 1] - st->u_soff[u];
-        if (spm0_of(u) && len > BTL_LW1 && len <= BTL_LW2) place(u, len, false);
+    for (int li = 0; li < NL; ++li) {
+        int len = len_of(li);
+        if (spm0_of(li) && len > BTL_LW1 && len <= BTL_LW2)
+            place(li, len, false);
     }
     st->split_rows = row + 1;
     curp = n_sym + 1;
     // region B: non-SPM-initial first (each opens a row), long SPM units fill
-    for (int u = 0; u < U; ++u) {
-        int len = st->u_soff[u + 1] - st->u_soff[u];
-        if (!spm0_of(u)) place(u, len, true);
-    }
-    for (int u = 0; u < U; ++u) {
-        int len = st->u_soff[u + 1] - st->u_soff[u];
-        if (spm0_of(u) && len > BTL_LW2) place(u, len, false);
-    }
+    for (int li = 0; li < NL; ++li)
+        if (!spm0_of(li)) place(li, len_of(li), true);
+    for (int li = 0; li < NL; ++li)
+        if (spm0_of(li) && len_of(li) > BTL_LW2) place(li, len_of(li), false);
     st->R = row + 1;
     st->row_unit_off.assign(st->R + 1, 0);
     for (int r = 0; r < st->R; ++r)
         st->row_unit_off[r + 1] = st->row_unit_off[r] + row_count[r];
     // row_units was appended in assignment order == (row, offset) order
 
-    out_counts[0] = U;
+    out_counts[0] = c->units();
     out_counts[1] = (int64_t)st->inst_unit.size();
     out_counts[2] = st->R;
     out_counts[3] = st->total_syms;
     out_counts[4] = st->split_rows;
     out_counts[5] = st->split_rows1;
+    out_counts[6] = NL;
+    return st;
+}
+
+void* btl_units_analyze(const uint8_t* docs, const int64_t* doc_off,
+                        int n_docs, int use_raw_bytes, int no_dummy_prefix,
+                        const int32_t* cm_counts, const int32_t* cm_values,
+                        int cm_width, int cm_min, int cm_max,
+                        const int32_t* sym2iw, int64_t sym2iw_len,
+                        int spm_iw, int n_sym, int64_t* out_counts) {
+    int64_t counts7[7];
+    void* st = btl_units_analyze_c(
+        nullptr, docs, doc_off, n_docs, use_raw_bytes, no_dummy_prefix,
+        cm_counts, cm_values, cm_width, cm_min, cm_max, sym2iw, sym2iw_len,
+        spm_iw, n_sym, counts7);
+    for (int i = 0; i < 6; ++i) out_counts[i] = counts7[i];
     return st;
 }
 
@@ -415,14 +524,16 @@ void* btl_units_analyze(const uint8_t* docs, const int64_t* doc_off,
 void btl_units_emit(void* handle, int32_t* px, int32_t* plen,
                     uint8_t* status) {
     BtlUnitsState* st = (BtlUnitsState*)handle;
+    BtlUnitCache* c = st->cache;
     int N = st->n_sym;
     memset(plen, 0, sizeof(int32_t) * st->R);
     for (int64_t i = 0; i < (int64_t)st->R * N; ++i) px[i] = -1;
-    int U = (int)st->u_soff.size() - 1;
-    for (int u = 0; u < U; ++u) {
-        int len = st->u_soff[u + 1] - st->u_soff[u];
-        int32_t r = st->u_row[u], o = st->u_off[u];
-        memcpy(px + (int64_t)r * N + o, st->u_syms.data() + st->u_soff[u],
+    int NL = (int)st->local_units.size();
+    for (int li = 0; li < NL; ++li) {
+        int32_t u = st->local_units[li];
+        int len = c->u_soff[u + 1] - c->u_soff[u];
+        int32_t r = st->u_row[li], o = st->u_off[li];
+        memcpy(px + (int64_t)r * N + o, c->u_syms.data() + c->u_soff[u],
                (size_t)len * 4);
         if (o + len > plen[r]) plen[r] = o + len;
     }
@@ -437,47 +548,63 @@ void btl_units_emit(void* handle, int32_t* px, int32_t* plen,
 //  out_bounds (n_docs+1) int64 token offsets per doc (fallback docs span 0)
 //  need_fb    (n_docs) 1 = doc must take the host-oracle path
 // Returns total tokens written, or -1 if cap was exceeded.
+//
+// With a shared cache, this batch's freshly resolved units are stored into
+// the cache (one compact arena append per unique unit), and instances of
+// units resolved by EARLIER stitches read straight from the arena — the
+// cross-batch dedup payoff.  Unresolved non-local units (an earlier batch
+// was dispatched but never stitched) conservatively flag the doc.
 int64_t btl_units_stitch(void* handle, const int32_t* rows, int64_t rows_n,
                          int shift, int32_t* out_ids, int64_t cap,
                          int64_t* out_bounds, uint8_t* need_fb) {
     BtlUnitsState* st = (BtlUnitsState*)handle;
+    BtlUnitCache* c = st->cache;
     int N = st->n_sym;
     int64_t stride = N + 2;
-    int U = (int)st->u_soff.size() - 1;
+    int NL = (int)st->local_units.size();
     int32_t start_mask_shift = shift;
     int32_t id_mask = (1 << shift) - 1;
 
-    // per-unit token spans within the packed rows
-    std::vector<int64_t> u_tok(U);      // flat index of first token in `rows`
-    std::vector<int32_t> u_cnt(U, 0);
-    std::vector<uint8_t> u_fb(U, 0);
+    // resolve local units: token spans within the packed rows -> cache arena
     for (int r = 0; r < st->R && r < rows_n; ++r) {
         const int32_t* row = rows + r * stride;
         int cnt = row[N];
         bool fb = row[N + 1] != 0;
         int ub = st->row_unit_off[r], ue = st->row_unit_off[r + 1];
         if (fb) {
-            for (int q = ub; q < ue; ++q) u_fb[st->row_units[q]] = 1;
+            for (int q = ub; q < ue; ++q) {
+                int32_t u = st->local_units[st->row_units[q]];
+                c->r_off[u] = (int64_t)c->r_ids.size();
+                c->r_cnt[u] = -1;  // resolved-fallback
+                c->pending[u] = 0;
+            }
             continue;
         }
-        int q = ub;
         int j = 0;
-        while (q < ue) {
-            int32_t u = st->row_units[q];
-            int32_t uo = st->u_off[u];
-            int32_t uend = uo + (st->u_soff[u + 1] - st->u_soff[u]);
+        for (int q = ub; q < ue; ++q) {
+            int32_t li = st->row_units[q];
+            int32_t u = st->local_units[li];
+            int32_t uo = st->u_off[li];
+            int32_t uend = uo + (c->u_soff[u + 1] - c->u_soff[u]);
             // tokens are start-ascending within the row
             while (j < cnt && (row[j] >> start_mask_shift) < uo) ++j;
-            u_tok[u] = r * stride + j;
+            c->r_off[u] = (int64_t)c->r_ids.size();
             int j0 = j;
             while (j < cnt && (row[j] >> start_mask_shift) < uend) ++j;
-            u_cnt[u] = j - j0;
-            ++q;
+            c->r_cnt[u] = j - j0;
+            for (int q2 = j0; q2 < j; ++q2)
+                c->r_ids.push_back((row[q2] & id_mask) - 1);
+            c->pending[u] = 0;
         }
     }
     if (st->R > rows_n) {  // caller passed fewer rows than packed (bug guard)
-        for (int u = 0; u < U; ++u)
-            if (st->u_row[u] >= rows_n) u_fb[u] = 1;
+        for (int li = 0; li < NL; ++li)
+            if (st->u_row[li] >= rows_n) {
+                int32_t u = st->local_units[li];
+                c->r_off[u] = 0;
+                c->r_cnt[u] = -1;
+                c->pending[u] = 0;
+            }
     }
 
     int64_t t = 0;
@@ -485,17 +612,18 @@ int64_t btl_units_stitch(void* handle, const int32_t* rows, int64_t rows_n,
     for (int d = 0; d < st->n_docs; ++d) {
         int64_t i0 = st->doc_inst_off[d], i1 = st->doc_inst_off[d + 1];
         bool fb = st->status[d] != 0;
-        for (int64_t i = i0; !fb && i < i1; ++i)
-            fb = u_fb[st->inst_unit[i]] != 0;
+        for (int64_t i = i0; !fb && i < i1; ++i) {
+            int32_t u = st->inst_unit[i];
+            fb = c->r_off[u] < 0 || c->r_cnt[u] < 0;
+        }
         need_fb[d] = fb ? 1 : 0;
         if (!fb) {
             for (int64_t i = i0; i < i1; ++i) {
                 int32_t u = st->inst_unit[i];
-                int32_t cnt = u_cnt[u];
+                int32_t cnt = c->r_cnt[u];
                 if (t + cnt > cap) return -1;
-                const int32_t* src = rows + u_tok[u];
-                for (int32_t j = 0; j < cnt; ++j)
-                    out_ids[t + j] = (src[j] & id_mask) - 1;
+                memcpy(out_ids + t, c->r_ids.data() + c->r_off[u],
+                       (size_t)cnt * 4);
                 t += cnt;
             }
         }

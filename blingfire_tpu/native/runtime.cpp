@@ -23,6 +23,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -1381,29 +1382,62 @@ int TextToSentencesWithModel(const char* in, int n, char* out,
     return words_impl(in, n, out, nullptr, nullptr, max_out, h, true);
 }
 
-// default models must be registered first (framework extension — the
-// reference compiles wbd.bin/sbd.bin byte arrays into the DLL instead)
+// Default wbd/sbd models are COMPILED IN as byte arrays (default_models.cxx,
+// generated from the framework compiler's own binaries), exactly like the
+// reference links BlingFireTokLib{Wbd,Sbd}Data.cxx (blingfiretokdll.cpp:
+// 27-31).  Initialization is lazy behind a double-checked mutex (reference
+// blingfiretokdll.cpp:42-44,174-190); SetDefaultModels still overrides.
+extern const unsigned char g_dumpBlingFireTokLibWbdData[];
+extern const unsigned int g_dumpBlingFireTokLibWbdData_size;
+extern const unsigned char g_dumpBlingFireTokLibSbdData[];
+extern const unsigned int g_dumpBlingFireTokLibSbdData_size;
+
 static ModelData* g_default_wbd = nullptr;
 static ModelData* g_default_sbd = nullptr;
+static bool g_defaults_init = false;
+static std::mutex g_defaults_mutex;
+void* SetModel(const unsigned char* pImgBytes, int ModelByteCount);
+
+static void ensure_default_models() {
+    if (g_defaults_init) return;
+    std::lock_guard<std::mutex> lock(g_defaults_mutex);
+    if (g_defaults_init) return;
+    if (!g_default_wbd)
+        g_default_wbd = (ModelData*)SetModel(
+            g_dumpBlingFireTokLibWbdData,
+            (int)g_dumpBlingFireTokLibWbdData_size);
+    if (!g_default_sbd)
+        g_default_sbd = (ModelData*)SetModel(
+            g_dumpBlingFireTokLibSbdData,
+            (int)g_dumpBlingFireTokLibSbdData_size);
+    g_defaults_init = true;
+}
+
 int SetDefaultModels(void* wbd, void* sbd) {
+    std::lock_guard<std::mutex> lock(g_defaults_mutex);
     g_default_wbd = (ModelData*)wbd;
     g_default_sbd = (ModelData*)sbd;
+    g_defaults_init = true;
     return 1;
 }
 int TextToWords(const char* in, int n, char* out, const int max_out) {
+    ensure_default_models();
     return words_impl(in, n, out, nullptr, nullptr, max_out, g_default_wbd,
                       false);
 }
 int TextToWordsWithOffsets(const char* in, int n, char* out, int* starts,
                            int* ends, const int max_out) {
+    ensure_default_models();
     return words_impl(in, n, out, starts, ends, max_out, g_default_wbd, false);
 }
 int TextToSentences(const char* in, int n, char* out, const int max_out) {
+    ensure_default_models();
     return words_impl(in, n, out, nullptr, nullptr, max_out, g_default_sbd,
                       true);
 }
 int TextToSentencesWithOffsets(const char* in, int n, char* out, int* starts,
                                int* ends, const int max_out) {
+    ensure_default_models();
     return words_impl(in, n, out, starts, ends, max_out, g_default_sbd, true);
 }
 

@@ -312,7 +312,7 @@ class UnitRunner:
     # ONE compact d2h per chunk started asynchronously at dispatch time, and
     # a single C++ stitch that writes flat per-doc ids.
 
-    def dispatch_docs(self, docs_b: list[bytes], unk_id: int):
+    def dispatch_docs(self, docs_b: list[bytes], unk_id: int, cache=None):
         import jax.numpy as jnp
 
         from .. import native
@@ -324,6 +324,7 @@ class UnitRunner:
         nu = native.units_analyze(
             docs_b, N, tok._sym2iw, self.spm_iw,
             tok.seg.use_raw_bytes, tok.seg.no_dummy_prefix, tok.seg.charmap,
+            cache=cache,
         )
         pending = []  # (actual_rows, device handle)
         # length-class regions hold only SPM-initial units no longer than

@@ -449,29 +449,55 @@ class SpTokenizer:
             and self._unit_runner().compact_ok
         )
 
+    def _native_fallback_handle(self):
+        """Lazy native-runtime model handle for fallback documents (the host
+        C++ engine is ~100x the Python oracle and handles any length; parity
+        vs the reference .so is covered by tests/test_native_runtime.py)."""
+        if not hasattr(self, "_nfb_handle"):
+            self._nfb_handle = None
+            path = getattr(self.model, "source_path", None)
+            if path is not None:
+                from .. import native
+
+                rt = native.get_runtime()
+                if rt is not None:
+                    h = rt.LoadModel(path.encode())
+                    if h:
+                        self._nfb_handle = (rt, h)
+        return self._nfb_handle
+
+    def _fallback_ids(self, d: bytes, unk_id: int) -> list[int]:
+        """Host-path ids for one fallback document."""
+        nfb = self._native_fallback_handle()
+        if nfb is not None:
+            import ctypes
+
+            rt, h = nfb
+            cap = len(d) + 16
+            arr = np.empty(cap, np.int32)
+            n = rt.TextToIds(
+                ctypes.c_void_p(h), d, len(d),
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                cap, unk_id,
+            )
+            if 0 <= n <= cap:
+                return arr[:n].tolist()
+        return self._oracle.text_to_ids(d, unk_id=unk_id)
+
     def _patch_fallbacks(self, chunk, ids, bounds, need, status, unk_id, c):
         """Replace the (rare) fallback docs' empty spans in a flat result:
-        overflow docs -> chunked device pass, invalid -> 0 ids, rest ->
-        host oracle.  Returns updated (ids, bounds)."""
+        invalid -> 0 ids, rest -> native host engine (oracle when no
+        toolchain).  Returns updated (ids, bounds)."""
         repl: dict[int, list[int]] = {}
         need_idx = np.flatnonzero(need)
-        over_idx = [int(k) for k in need_idx if status[k] == 2]
-        if over_idx:
-            got = self._encode_overflow([chunk[k] for k in over_idx], unk_id)
-            for k, g in zip(over_idx, got):
-                if g is not None:
-                    repl[k] = g
-                    c.chunked_docs += 1
         for k in need_idx:
             k = int(k)
-            if k in repl:
-                continue
             d = chunk[k]
             if len(d) == 0:
                 repl[k] = []
                 c.invalid_docs += 1
             else:
-                repl[k] = self._oracle.text_to_ids(d, unk_id=unk_id)
+                repl[k] = self._fallback_ids(d, unk_id)
                 c.fallback_docs += 1
         cnt = np.diff(bounds)
         for k, v in repl.items():
@@ -524,9 +550,16 @@ class SpTokenizer:
             )
             return ids.astype(np.int32, copy=False), bounds
 
+        from .. import native
+
         runner = self._unit_runner()
         parts: list[tuple[np.ndarray, np.ndarray]] = []
         inflight: list = []
+        # cross-batch unit cache: dedup is cumulative over this call — later
+        # batches dispatch only units never resolved before (on real corpora
+        # the distinct-unit stream dries up fast).  Fresh per call: a corpus
+        # run never reuses results from a previous corpus.
+        ucache = native.UnitCache()
 
         def collect(entry):
             chunk, state = entry
@@ -541,7 +574,8 @@ class SpTokenizer:
 
         for chunk in _batches_by_bytes(docs_b, batch_docs):
             with metrics.stage("dispatch", c):
-                state = runner.dispatch_docs(chunk, unk_id)
+                state = runner.dispatch_docs(chunk, unk_id, cache=ucache)
+                c.dispatched_rows += state[0].n_rows
             c.bytes_in += sum(len(d) for d in chunk)
             c.docs_in += len(chunk)
             c.batches += 1
@@ -550,6 +584,7 @@ class SpTokenizer:
                 collect(inflight.pop(0))
         while inflight:
             collect(inflight.pop(0))
+        c.cache_units = ucache.stats()["units"]
 
         if len(parts) == 1:
             return parts[0]

@@ -24,6 +24,9 @@ class Counters:
     invalid_docs: int = 0
     stage_seconds: dict = field(default_factory=lambda: defaultdict(float))
     batches: int = 0
+    # cross-batch unit cache (dedup cumulative over the corpus)
+    cache_units: int = 0  # distinct units interned over the run
+    dispatched_rows: int = 0  # device rows actually dispatched (cache misses)
 
     def as_dict(self) -> dict:
         total = sum(self.stage_seconds.values())
@@ -35,6 +38,8 @@ class Counters:
             "chunked_docs": self.chunked_docs,
             "invalid_docs": self.invalid_docs,
             "batches": self.batches,
+            "cache_units": self.cache_units,
+            "dispatched_rows": self.dispatched_rows,
             "stage_seconds": dict(self.stage_seconds),
             "bytes_per_second": self.bytes_in / total if total > 0 else 0.0,
         }

@@ -55,8 +55,9 @@ def test_long_docs_device_chunking(name):
     for i, d in enumerate(docs):
         want = ref.text_to_ids(h, d, max_len=65536, unk_id=0).tolist()
         assert got[i] == want, (name, i, len(d))
-    # every doc must have used the chunked device path, none the oracle
-    assert c.chunked_docs == len(docs), c.as_dict()
+    # every doc must stay on a device path (round 5: the unit pipeline takes
+    # docs of ANY length directly — only a single unit wider than the device
+    # row falls back — so no chunked pass and no oracle should be needed)
     assert c.fallback_docs == 0, c.as_dict()
 
 

@@ -1,0 +1,102 @@
+"""Cross-batch unit cache (native/prep.cpp::BtlUnitCache): cumulative dedup
+must be invisible in the results — batches sharing a cache produce exactly
+the ids of independent batches — while later batches dispatch only unseen
+units (VERDICT r4 #1b)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import reference_lib as ref
+from corpus import full_corpus
+
+from blingfire_tpu import native
+from blingfire_tpu.models.loader import load_model
+from blingfire_tpu.runtime import metrics
+from blingfire_tpu.runtime.host import SpTokenizer
+
+LDB = "/root/reference/ldbsrc/ldb"
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def _docs() -> list[bytes]:
+    lines = [ln.encode("utf-8") if isinstance(ln, str) else ln
+             for ln in full_corpus(n_random=40)]
+    return [ln for ln in lines if ln.strip()]
+
+
+@pytest.mark.parametrize("name", ["gpt2.bin", "xlnet.bin"])
+def test_cache_parity_across_batches(name):
+    tok = SpTokenizer(load_model(f"{LDB}/{name}"), max_doc_symbols=128)
+    if not tok._native_units_ok():
+        pytest.skip("unit path unavailable for this model")
+    runner = tok._unit_runner()
+    docs = _docs()
+    # overlapping batches: batch 2 repeats half of batch 1's lines
+    b1 = docs[: len(docs) // 2]
+    b2 = docs[len(docs) // 3 :]
+
+    cache = native.UnitCache()
+    r1 = runner.collect_docs(runner.dispatch_docs(b1, 0, cache=cache))
+    st2 = runner.dispatch_docs(b2, 0, cache=cache)
+    nu2 = st2[0]
+    r2 = runner.collect_docs(st2)
+    stats = cache.stats()
+    assert stats["units"] >= stats["resolved"] > 0
+
+    # cache-off singles must agree doc by doc
+    for batch, (ids, bounds, need, _status) in ((b1, r1), (b2, r2)):
+        plain = runner.encode_docs(batch, 0)
+        pids, pbounds, pneed, _ = plain
+        assert np.array_equal(need, pneed)
+        assert np.array_equal(np.asarray(ids), np.asarray(pids))
+        assert np.array_equal(np.asarray(bounds), np.asarray(pbounds))
+
+    # batch 2 must have skipped every unit batch 1 resolved
+    c2 = native.units_analyze(
+        b2, tok.n_doc, tok._sym2iw, runner.spm_iw,
+        tok.seg.use_raw_bytes, tok.seg.no_dummy_prefix, tok.seg.charmap,
+    )
+    assert nu2.n_local < c2.n_units  # strictly fewer than a cold analyze
+
+
+@pytest.mark.parametrize("name", ["gpt2.bin", "xlnet.bin", "roberta.bin"])
+def test_corpus_flat_cached_matches_reference(name):
+    tok = SpTokenizer(load_model(f"{LDB}/{name}"), max_doc_symbols=128)
+    if not tok._native_units_ok():
+        pytest.skip("unit path unavailable for this model")
+    h = ref.load_model(name)
+    docs = _docs()
+    c = metrics.Counters()
+    # tiny batches force many cache-sharing dispatches through the pipeline
+    ids, bounds = tok.encode_corpus_flat(docs, batch_docs=16, counters=c)
+    assert c.cache_units > 0
+    for i, d in enumerate(docs):
+        want = ref.text_to_ids(h, d, max_len=65536, unk_id=0).tolist()
+        got = ids[bounds[i] : bounds[i + 1]].tolist()
+        assert got == want, (name, i, d[:80])
+
+
+def test_cache_long_docs_unit_path():
+    """Docs far wider than the device row stay on the unit path (round 5:
+    only a single unit > n_sym falls back)."""
+    tok = SpTokenizer(load_model(f"{LDB}/gpt2.bin"), max_doc_symbols=128)
+    if not tok._native_units_ok():
+        pytest.skip("unit path unavailable")
+    h = ref.load_model("gpt2.bin")
+    docs = [
+        ("the quick brown fox " * 400).encode(),  # ~8 KB
+        ("naïve café résumé " * 300).encode(),
+        b"x" * 600,  # one giant unit -> fallback
+        b"tail doc",
+    ]
+    c = metrics.Counters()
+    ids, bounds = tok.encode_corpus_flat(docs, counters=c)
+    for i, d in enumerate(docs):
+        want = ref.text_to_ids(h, d, max_len=65536, unk_id=0).tolist()
+        assert ids[bounds[i] : bounds[i + 1]].tolist() == want, i
+    assert c.fallback_docs == 1  # only the giant-unit doc
