@@ -56,9 +56,10 @@ def get_lib():
         lib.btl_units_emit.restype = None
         lib.btl_units_emit.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_void_p, ctypes.c_void_p]
-        lib.btl_units_stitch.restype = ctypes.c_int64
-        lib.btl_units_stitch.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        lib.btl_units_stitch_m.restype = ctypes.c_int64
+        lib.btl_units_stitch_m.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.btl_units_free.restype = None
@@ -169,21 +170,28 @@ class NativeUnits:
             self.status.ctypes.data_as(ctypes.c_void_p),
         )
 
-    def stitch(self, rows: np.ndarray, shift: int):
-        """rows: (rows_n, n_sym+2) int32 packed device output (rows_n >= n_rows).
+    def stitch(self, rows: np.ndarray, shift: int,
+               row_map: np.ndarray | None = None):
+        """rows: (rows_n, n_sym+2) int32 packed device output.  row_map maps
+        packed row r -> its row index in ``rows`` (None = identity).
         Returns (ids int32 (T,), bounds int64 (n_docs+1,), need_fb bool (n_docs,))."""
         assert self._handle is not None, "stitch called twice"
         assert rows.dtype == np.int32 and rows.shape[1] == self.n_sym + 2
         rows = np.ascontiguousarray(rows)
+        if row_map is not None:
+            row_map = np.ascontiguousarray(row_map, np.int32)
+            assert len(row_map) >= self.n_rows
         lib = get_lib()
         cap = self.total_syms + 16
         out_ids = np.empty(cap, np.int32)
         bounds = np.empty(self.n_docs + 1, np.int64)
         need = np.empty(self.n_docs, np.uint8)
-        t = lib.btl_units_stitch(
+        t = lib.btl_units_stitch_m(
             self._handle,
             rows.ctypes.data_as(ctypes.c_void_p),
             ctypes.c_int64(rows.shape[0]),
+            row_map.ctypes.data_as(ctypes.c_void_p)
+            if row_map is not None else None,
             ctypes.c_int(shift),
             out_ids.ctypes.data_as(ctypes.c_void_p),
             ctypes.c_int64(cap),

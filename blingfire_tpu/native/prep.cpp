@@ -554,9 +554,10 @@ void btl_units_emit(void* handle, int32_t* px, int32_t* plen,
 // units resolved by EARLIER stitches read straight from the arena — the
 // cross-batch dedup payoff.  Unresolved non-local units (an earlier batch
 // was dispatched but never stitched) conservatively flag the doc.
-int64_t btl_units_stitch(void* handle, const int32_t* rows, int64_t rows_n,
-                         int shift, int32_t* out_ids, int64_t cap,
-                         int64_t* out_bounds, uint8_t* need_fb) {
+int64_t btl_units_stitch_m(void* handle, const int32_t* rows, int64_t rows_n,
+                           const int32_t* row_map, int shift,
+                           int32_t* out_ids, int64_t cap,
+                           int64_t* out_bounds, uint8_t* need_fb) {
     BtlUnitsState* st = (BtlUnitsState*)handle;
     BtlUnitCache* c = st->cache;
     int N = st->n_sym;
@@ -566,8 +567,12 @@ int64_t btl_units_stitch(void* handle, const int32_t* rows, int64_t rows_n,
     int32_t id_mask = (1 << shift) - 1;
 
     // resolve local units: token spans within the packed rows -> cache arena
-    for (int r = 0; r < st->R && r < rows_n; ++r) {
-        const int32_t* row = rows + r * stride;
+    // (row_map: packed row r lives at device row row_map[r]; NULL = identity
+    // — lets the dispatcher batch fixed-shape chunk groups with padding)
+    for (int r = 0; r < st->R; ++r) {
+        int64_t dr = row_map ? row_map[r] : r;
+        if (dr < 0 || dr >= rows_n) continue;
+        const int32_t* row = rows + dr * stride;
         int cnt = row[N];
         bool fb = row[N + 1] != 0;
         int ub = st->row_unit_off[r], ue = st->row_unit_off[r + 1];
@@ -597,14 +602,18 @@ int64_t btl_units_stitch(void* handle, const int32_t* rows, int64_t rows_n,
             c->pending[u] = 0;
         }
     }
-    if (st->R > rows_n) {  // caller passed fewer rows than packed (bug guard)
-        for (int li = 0; li < NL; ++li)
-            if (st->u_row[li] >= rows_n) {
-                int32_t u = st->local_units[li];
+    // rows not covered by the transfer (bug guard): resolved-fallback
+    for (int li = 0; li < NL; ++li) {
+        int32_t r = st->u_row[li];
+        int64_t dr = row_map ? row_map[r] : r;
+        if (dr < 0 || dr >= rows_n) {
+            int32_t u = st->local_units[li];
+            if (c->r_off[u] < 0) {
                 c->r_off[u] = 0;
                 c->r_cnt[u] = -1;
                 c->pending[u] = 0;
             }
+        }
     }
 
     int64_t t = 0;
@@ -630,6 +639,13 @@ int64_t btl_units_stitch(void* handle, const int32_t* rows, int64_t rows_n,
         out_bounds[d + 1] = t;
     }
     return t;
+}
+
+int64_t btl_units_stitch(void* handle, const int32_t* rows, int64_t rows_n,
+                         int shift, int32_t* out_ids, int64_t cap,
+                         int64_t* out_bounds, uint8_t* need_fb) {
+    return btl_units_stitch_m(handle, rows, rows_n, nullptr, shift, out_ids,
+                              cap, out_bounds, need_fb);
 }
 
 void btl_units_free(void* handle) { delete (BtlUnitsState*)handle; }

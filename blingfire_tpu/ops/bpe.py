@@ -67,6 +67,14 @@ class BpeDeviceTables:
     # TPU bottleneck of the whole kernel
     trie_next: jax.Array | None
     rank_by_id: jax.Array | None
+    # merge-PRIORITY mode (round 5): when every real rank is negative (the
+    # dict compiler negates merge ranks; unknown arcs carry rank 0.0f and
+    # sort first — …_bpe_with_merges_t.h:229,247), (rank desc, id asc) is a
+    # fixed permutation of the vocabulary.  Trie finals are renumbered by
+    # that priority (0 = unknown), so the merges kernel needs NO rank
+    # arrays or extra sort keys — identical cost to plain bpe-opt — and
+    # ids are recovered at emit through this table (+ id_offset baked out).
+    prio2id: jax.Array | None
     n_slots: int = field(metadata=dict(static=True))
     max_len: int = field(metadata=dict(static=True))  # walk depth bound
     with_merges: bool = field(metadata=dict(static=True))
@@ -85,17 +93,49 @@ def make_device_tables(
     with_merges: bool,
     fast: bool,
     id_offset: int,
-    trie=None,  # (next_flat, rank_by_id, root, n_nodes) from build_trie_table
+    trie=None,  # (edge_idx, edge_val, rank_by_id, root, n_nodes)
 ) -> BpeDeviceTables:
     assert int(ids.max(initial=0)) < (1 << 20), "ids must fit the packed-slot layout"
     assert max_len <= 128, "token depth must fit the packed-slot layout"
-    trie_next = rank_by_id = None
+    trie_next = rank_by_id = prio2id = None
     trie_root, trie_v = -1, 0
     if trie is not None:
-        next_flat, rk, trie_root, _n = trie
-        trie_next = jnp.asarray(next_flat, jnp.int32)
-        rank_by_id = jnp.asarray(rk, jnp.float32)
-        trie_v = int(ids.max(initial=-1)) + 1
+        edge_idx, edge_val, rk, trie_root, n_nodes = trie
+        A = table.n_iws
+        V = int(ids.max(initial=-1)) + 1
+        if with_merges and len(ranks) and float(ranks.max()) < 0.0:
+            # merge-priority numbering (see BpeDeviceTables.prio2id): sort
+            # vocab entries by (rank desc, id asc); priority p+1 = p-th entry
+            # (0 reserved for unknown, which outranks every negative rank)
+            order = np.lexsort((ids.astype(np.int64), -ranks))
+            prio_of = np.zeros(V, np.int64)
+            prio_of[ids[order].astype(np.int64)] = 1 + np.arange(len(order))
+            unused = np.flatnonzero(prio_of == 0)  # ids never emitted
+            prio_of[unused] = 1 + len(order) + np.arange(len(unused))
+            n_prio = 1 + V
+            assert n_prio < (1 << 20), "priorities must fit the slot layout"
+            shift = n_prio - V  # internal nodes move up by one
+            node = edge_idx // A
+            ciw = edge_idx % A
+            nodes_m = np.where(node < V, prio_of[np.minimum(node, V - 1)],
+                               node + shift)
+            vals_m = np.where(edge_val < V,
+                              prio_of[np.minimum(edge_val, V - 1)],
+                              edge_val + shift).astype(np.int32)
+            edge_idx = nodes_m * A + ciw
+            edge_val = vals_m
+            trie_root = (int(prio_of[trie_root]) if trie_root < V
+                         else trie_root + shift)
+            trie_v = n_prio
+            size = (n_nodes + shift) * A
+            p2i = np.zeros(n_prio, np.int32)
+            p2i[prio_of] = np.arange(V)
+            prio2id = jnp.asarray(p2i, jnp.int32)
+        else:
+            trie_v = V
+            size = n_nodes * A
+            rank_by_id = jnp.asarray(rk, jnp.float32)
+        trie_next = _densify_trie_on_device(edge_idx, edge_val, size)
     return BpeDeviceTables(
         base=jnp.asarray(table.base, jnp.int32),
         owner=jnp.asarray(table.owner, jnp.int32),
@@ -106,6 +146,7 @@ def make_device_tables(
         ranks_tab=jnp.asarray(ranks, jnp.float32),
         trie_next=trie_next,
         rank_by_id=rank_by_id,
+        prio2id=prio2id,
         n_slots=table.n_slots,
         max_len=max_len,
         with_merges=with_merges,
@@ -114,6 +155,26 @@ def make_device_tables(
         trie_root=trie_root,
         trie_v=trie_v,
         trie_a=table.n_iws,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _scatter_trie(idx, vals, size: int):
+    return jnp.full(size, -1, jnp.int32).at[idx].set(vals)
+
+
+def _densify_trie_on_device(edge_idx, edge_val, size: int) -> jax.Array:
+    """Ship the vocabulary trie as CSR and densify with one device scatter.
+
+    The dense gpt2 trie is ~100 MB but holds only ~98k real edges (~0.8 MB
+    as (index, value) pairs).  Uploading the dense array through the
+    tunneled backend cost ~55 s of every process's first dispatch — the
+    round-4 "cold start" was table transfer, not compilation.  The scatter
+    builds the dense table ON DEVICE from a ~1.6 MB transfer."""
+    return _scatter_trie(
+        jnp.asarray(np.asarray(edge_idx, np.int64).astype(np.int32)),
+        jnp.asarray(np.asarray(edge_val, np.int32)),
+        int(size),
     )
 
 
@@ -255,7 +316,8 @@ def _walk_impl(
         packs.append(
             jnp.where(fin, mid | (nxt_spm.astype(jnp.int32) << 27), -1)
         )
-        if tables.with_merges:
+        # priority mode: mid IS the merge priority — no rank gathers at all
+        if tables.with_merges and tables.prio2id is None:
             if use_trie:
                 ranks.append(tables.rank_by_id[jnp.clip(mid, 0, V - 1)])
             else:
@@ -264,7 +326,7 @@ def _walk_impl(
 
     m_pack = jnp.stack(packs)
     m_rank = (
-        jnp.stack(ranks) if tables.with_merges
+        jnp.stack(ranks) if ranks
         else jnp.zeros((1, 1, 1), jnp.float32)
     )
     # a still-alive state at the cap == a potential deeper match
@@ -360,10 +422,17 @@ def _resolve_impl(
     )
 
     # ------------------------------------------------------------------ SORT
-    # sort order: (merge-rank desc,) id asc, start asc
+    # sort order: (merge-rank desc,) id asc, start asc.  In merge-priority
+    # mode the walk already emitted priorities (0 = unknown, ascending ==
+    # (rank desc, id asc)) so a single key replicates the full order.
+    use_prio = tables.prio2id is not None
+    use_rank = tables.with_merges and not use_prio
     n_arcs = jnp.sum(survive, axis=(0, 2)) + jnp.sum(run_start, axis=1)
     arc_overflow = n_arcs > a_max
-    max_id = int(tables.ids_tab.shape[0]) + abs(tables.id_offset) + 2
+    max_id = (
+        tables.trie_v + 1 if use_prio
+        else int(tables.ids_tab.shape[0]) + abs(tables.id_offset) + 2
+    )
     depth_bits = max(N - 1, 1).bit_length()  # unknown runs span up to N-1
     dmask = (1 << depth_bits) - 1
     # geometry packs into the low bits; ids pack too when small enough
@@ -398,7 +467,7 @@ def _resolve_impl(
         else:
             geo = (pos[None, None, :] << depth_bits) | dslot
             per_slot = (ids_safe, jnp.broadcast_to(geo, (LR, B, N)))
-        if tables.with_merges:
+        if use_rank:
             per_slot = (_float_desc_key(m_rank),) + per_slot
 
         cols = [[] for _ in per_slot]
@@ -409,9 +478,11 @@ def _resolve_impl(
                 v = jnp.sum(jnp.where(sel, arr, 0), axis=0)
                 cols[ki].append(jnp.where(have, v, INT32_MAX))
 
-        # unknown-run arcs occupy one extra N-wide column block
+        # unknown-run arcs occupy one extra N-wide column block (priority
+        # mode: priority 0 — unknown rank 0.0f outranks all negative ranks)
         u_depth = jnp.clip(jnp.minimum(run_end, N - 1) - pos[None, :], 0, dmask)
-        unk_c = jnp.minimum(unk_id, jnp.int32(max_id))
+        unk_c = (jnp.int32(0) if use_prio
+                 else jnp.minimum(unk_id, jnp.int32(max_id)))
         if packable:
             u_key = ((unk_c * jnp.int32(N) + pos[None, :]) << depth_bits) | u_depth
             u_cols = (u_key,)
@@ -420,7 +491,7 @@ def _resolve_impl(
                 jnp.broadcast_to(unk_c, (B, N)),
                 (pos[None, :] << depth_bits) | u_depth,
             )
-        if tables.with_merges:
+        if use_rank:
             u_cols = (_float_desc_key(jnp.zeros((B, N), jnp.float32)),) + u_cols
         for ki, arr in enumerate(u_cols):
             cols[ki].append(jnp.where(run_start, arr, INT32_MAX))
@@ -464,12 +535,11 @@ def _resolve_impl(
             [_flat(jnp.broadcast_to(m_end, (LR, B, N))),
              jnp.minimum(run_end, N - 1)], axis=1
         )
-        ids = jnp.concatenate(
-            [_flat(m_id),
-             jnp.broadcast_to(unk_id, (B, N)).astype(jnp.int32)], axis=1
-        )
+        unk_slab = (jnp.zeros((B, N), jnp.int32) if use_prio
+                    else jnp.broadcast_to(unk_id, (B, N)).astype(jnp.int32))
+        ids = jnp.concatenate([_flat(m_id), unk_slab], axis=1)
         ranks = jnp.concatenate(
-            [_flat(m_rank) if tables.with_merges
+            [_flat(m_rank) if use_rank
              else jnp.zeros((B, N * LR), jnp.float32),
              jnp.zeros((B, N), jnp.float32)], axis=1
         )
@@ -497,7 +567,7 @@ def _resolve_impl(
         cidx0 = jnp.broadcast_to(
             jnp.arange(a_max, dtype=jnp.int32)[None, :], (B, a_max)
         )
-        if tables.with_merges:
+        if use_rank:
             c_rank = compact(ranks, 0.0)
             key_rank = jnp.where(c_valid, _float_desc_key(c_rank), INT32_MAX)
             _, _, s_idx = jax.lax.sort(
@@ -610,8 +680,12 @@ def _resolve_impl(
         win = jnp.max(jnp.where(hitm, idx[:, None, :], -1), axis=2)  # (B, N)
         has_win = win >= 0
         sel = hitm & (idx[:, None, :] == win[:, :, None])
+        # priority mode: carry priorities through emit (0 = unknown);
+        # translate to ids at the very end (one small gather)
+        unk_grid = jnp.int32(0) if use_prio else unk_id
         grid_id = jnp.where(
-            has_win, jnp.sum(jnp.where(sel, s_id[:, None, :], 0), axis=2), unk_id
+            has_win, jnp.sum(jnp.where(sel, s_id[:, None, :], 0), axis=2),
+            unk_grid,
         )
         grid_tos = jnp.sum(jnp.where(sel, s_end[:, None, :], 0), axis=2)
     else:
@@ -624,8 +698,9 @@ def _resolve_impl(
         )
         has_win = win >= 0
         win_safe = jnp.maximum(win, 0)
+        unk_grid = jnp.int32(0) if use_prio else unk_id
         grid_id = jnp.where(
-            has_win, jnp.take_along_axis(s_id, win_safe, axis=1), unk_id
+            has_win, jnp.take_along_axis(s_id, win_safe, axis=1), unk_grid
         )
         grid_tos = jnp.where(
             has_win, jnp.take_along_axis(s_end, win_safe, axis=1), 0
@@ -663,7 +738,13 @@ def _resolve_impl(
         p2 = jnp.pad(grid_tos, padw)
         skey, sp1, sp2 = _bitonic_sort((ckey,), (p1, p2))
         emitted = skey[:, :N] != INT32_MAX
-        out_ids = jnp.where(emitted, sp1[:, :N] & 0xFFFFF, 0) + tables.id_offset
+        raw = sp1[:, :N] & 0xFFFFF
+        if use_prio:
+            raw = jnp.where(
+                raw == 0, unk_id,
+                tables.prio2id[jnp.clip(raw, 0, tables.trie_v - 1)],
+            )
+        out_ids = jnp.where(emitted, raw, 0) + tables.id_offset
         out_starts = jnp.where(emitted, sp1[:, :N] >> 20, 0)
         out_ends = jnp.where(emitted, sp2[:, :N], 0)
         counts = jnp.sum(tok_here, axis=1).astype(jnp.int32)
@@ -686,7 +767,16 @@ def _resolve_impl(
                 .reshape(B, N)
             )
 
-    out_ids = emit_compact(grid_id, 0) + tables.id_offset
+    raw = emit_compact(grid_id, 0)
+    if use_prio:
+        raw = jnp.where(
+            raw == 0, unk_id, tables.prio2id[jnp.clip(raw, 0, tables.trie_v - 1)]
+        )
+        slots = jnp.cumsum(tok_here.astype(jnp.int32), axis=1)[:, -1:]
+        raw = jnp.where(
+            jnp.arange(N)[None, :] < slots, raw, 0
+        )  # unemitted lanes stay 0, matching the non-priority layout
+    out_ids = raw + tables.id_offset
     out_starts = emit_compact(jnp.broadcast_to(pos[None, :], (B, N)), 0)
     out_ends = emit_compact(grid_tos, 0)
     counts = jnp.sum(tok_here, axis=1).astype(jnp.int32)

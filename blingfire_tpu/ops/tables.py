@@ -203,9 +203,12 @@ def build_trie_table(
     walk needs exactly one gather per step (``next[node * A + c]``; a node
     is final iff its index < vocab_size, and then the index IS the id).
 
-    Returns (next_flat int32[(V+extra) * n_iws], rank_by_id float32[V],
+    Returns (edge_idx int64[E], edge_val int32[E], rank_by_id float32[V],
     root_idx, n_nodes) or None when the dense table would exceed
-    ``max_entries`` slots.
+    ``max_entries`` slots.  ``edge_idx[k] = node * n_iws + iw`` — the trie
+    ships as CSR pairs (~1 MB) and is densified ON DEVICE with one scatter
+    (ops/bpe._densify_trie_on_device); uploading the ~100 MB dense gpt2
+    table through the tunneled backend cost ~55 s per process (round 5).
     """
     n_iws = comb.n_iws
     nkeys = len(ids)
@@ -268,14 +271,17 @@ def build_trie_table(
     n_nodes = max(next_internal, V)
     if n_nodes * n_iws > max_entries:
         return None
-    next_flat = np.full(n_nodes * n_iws, -1, np.int32)
     if edges:
         e = np.asarray(edges, dtype=np.int64)
-        next_flat[e[:, 0] * n_iws + e[:, 1]] = e[:, 2].astype(np.int32)
+        edge_idx = e[:, 0] * n_iws + e[:, 1]
+        edge_val = e[:, 2].astype(np.int32)
+    else:
+        edge_idx = np.zeros(0, np.int64)
+        edge_val = np.zeros(0, np.int32)
     rank_by_id = np.zeros(max(V, 1), np.float32)
     if nkeys:
         rank_by_id[ids.astype(np.int64)] = ranks
-    return next_flat, rank_by_id, root, n_nodes
+    return edge_idx, edge_val, rank_by_id, root, n_nodes
 
 
 def build_trie_table_cached(
@@ -288,7 +294,7 @@ def build_trie_table_cached(
         return build_trie_table(comb, ids, ranks)
     from ..models import cache
 
-    key = f"{model_key}-trie"
+    key = f"{model_key}-trie2"  # v2: CSR edge format (round 5)
     hit = cache.load(key)
     if hit is not None:
         return None if hit == "none" else hit

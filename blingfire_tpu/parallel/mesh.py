@@ -83,12 +83,13 @@ class ShardedSpRunner:
                 self._data_sh,  # ids
                 self._data_sh,  # starts
                 self._vec_sh,  # counts
+                self._vec_sh,  # per-row device-fallback flags
                 self._rep_sh,  # total tokens (replicated scalar)
                 self._rep_sh,  # checksum
             ),
         )
         def resolve(m_pack, m_rank, slot_ov, is_spm, lengths, unk_id):
-            ids, st, _en, counts, _fb = bpe_ops._resolve_impl(
+            ids, st, _en, counts, fb = bpe_ops._resolve_impl(
                 tables, m_pack, m_rank, slot_ov, is_spm, lengths,
                 unk_id, a_max,
             )
@@ -100,12 +101,12 @@ class ShardedSpRunner:
             # psum, and stable across shardings of the same corpus
             weights = pos * jnp.int32(-1640531527) + 1  # Knuth multiplier
             checksum = jnp.sum(masked * weights, dtype=jnp.int32)
-            return ids, st, counts, total, checksum
+            return ids, st, counts, fb, total, checksum
 
         @functools.partial(
             jax.jit,
             out_shardings=(self._data_sh, self._data_sh, self._vec_sh,
-                           self._rep_sh, self._rep_sh),
+                           self._vec_sh, self._rep_sh, self._rep_sh),
         )
         def stats_of(ids, st, counts):
             total = jnp.sum(counts)
@@ -113,7 +114,8 @@ class ShardedSpRunner:
             masked = jnp.where(pos < counts[:, None], ids, 0)
             weights = pos * jnp.int32(-1640531527) + 1
             checksum = jnp.sum(masked * weights, dtype=jnp.int32)
-            return ids, st, counts, total, checksum
+            fb = jnp.zeros(ids.shape[0], bool)  # unigram has no device fb
+            return ids, st, counts, fb, total, checksum
 
         def step(x_iw, is_spm, lengths, unk_id):
             if is_bpe:
@@ -134,15 +136,20 @@ class ShardedSpRunner:
         xj = jax.device_put(jnp.asarray(x), self._data_sh)
         sj = jax.device_put(jnp.asarray(spm), self._data_sh)
         lj = jax.device_put(jnp.asarray(lengths), self._vec_sh)
-        ids, _st, counts, total, checksum = self._step(
+        ids, _st, counts, _fbd, total, checksum = self._step(
             xj, sj, lj, jnp.int32(unk_id)
         )
         return ids, counts, ShardedStats(int(total), B, int(checksum))
 
-    def run_units(self, docs: list[bytes], unk_id: int = 0):
+    def run_units(self, docs: list[bytes], unk_id: int = 0, cache=None):
         """Production dedup layout, rows sharded over the mesh.  Returns
-        (flat ids, bounds, need_fb, stats) — the encode_corpus_flat contract
-        plus replicated global statistics."""
+        (flat ids, bounds, need_fb, status, stats) — the encode_corpus_flat
+        contract plus replicated global statistics.
+
+        Reuses the UnitRunner pieces (native analyze/stitch, cross-batch
+        cache); only the device pass differs: one mesh-sharded full-depth
+        slab instead of bucketed per-class dispatches.  Device-fallback
+        rows propagate into need_fb exactly like the single-chip path."""
         import numpy as np
 
         from .. import native
@@ -153,6 +160,7 @@ class ShardedSpRunner:
         nu = native.units_analyze(
             docs, tok.n_doc, tok._sym2iw, runner.spm_iw,
             tok.seg.use_raw_bytes, tok.seg.no_dummy_prefix, tok.seg.charmap,
+            cache=cache,
         )
         R = max(nu.n_rows, 1)
         Rp = -(-R // self.n_dp) * self.n_dp
@@ -164,11 +172,10 @@ class ShardedSpRunner:
         lj = jax.device_put(jnp.asarray(bl), self._vec_sh)
         derive_spm, _po, pack_out_compact = dd._helpers()
         sj = jax.device_put(derive_spm(xj, runner.spm_iw), self._data_sh)
-        ids, starts, counts, total, checksum = self._step(
+        ids, starts, counts, fbd, total, checksum = self._step(
             xj, sj, lj, jnp.int32(unk_id)
         )
-        fb = jnp.zeros(Rp, bool)
-        packed = np.asarray(pack_out_compact(ids, starts, counts, fb))
+        packed = np.asarray(pack_out_compact(ids, starts, counts, fbd))
         out = nu.stitch(
             np.ascontiguousarray(packed[: nu.n_rows]), dd.ID_SHIFT
         )

@@ -46,13 +46,16 @@ from ..ops import bpe as bpe_ops
 UNIT_MAX = 64  # longest unit the NUMPY dedup path handles (p99.9 of real text)
 PACK_ROWS = 512  # rows per dispatch (fixed shape -> one compile per kernel)
 
-# Native fast path: packed rows are dispatched in one (or few) calls whose
-# row count is rounded up to one of these buckets, so the jit cache holds at
-# most len(ROW_BUCKETS) compiled programs per kernel.  The top bucket repeats
-# for huge batches (compile cost grows with row count — the gpt2 resolve
-# program takes minutes beyond 2048 rows — while execution is already
-# throughput-bound at 2048).
-ROW_BUCKETS = (128, 512, 1024, 2048)
+# Native fast path: packed rows are dispatched in fixed 512-row chunks.
+# ONE bucket size deliberately (round 5): every distinct (rows, lw) shape
+# is a separate compiled executable, and loading an executable onto the
+# tunneled device costs ~3-5 s REGARDLESS of a warm persistent compile
+# cache — twelve shapes made every process pay ~60 s of warmup.  Three
+# shapes (one per walk-depth class) cut that to ~10 s, while 512-row
+# dispatch granularity measures within ~10% of the old 2048-row buckets
+# (dispatch cost scales with rows; fixed per-call overhead is ~2 ms).
+ROW_BUCKETS = (512,)
+GROUP_CHUNKS = 4  # chunks device-concatenated per d2h transfer (fixed shape)
 ID_SHIFT = 21  # compact lane layout: (id + 1) | (start << ID_SHIFT)
 LW_CLASSES = (8, 16)  # packed-row region walk depths (= prep.cpp BTL_LW1/BTL_LW2)
 SHORT_LW = 16  # backwards-compat alias for the widest short class
@@ -291,20 +294,34 @@ class UnitRunner:
 
     def warm(self, buckets=ROW_BUCKETS, unk_id: int = 0):
         """Compile (or load from the persistent cache) every bucket shape the
-        fast path can dispatch, so no compile lands inside a timed region."""
+        fast path can dispatch, so no compile lands inside a timed region.
+
+        Variants are warmed from a thread pool: per-variant cost is
+        dominated by persistent-cache executable loads through the tunneled
+        backend (~2-3 s each, GIL-released), which parallelize well."""
+        import concurrent.futures
+
         import jax.numpy as jnp
 
         _ds, _po, pack_out_compact = _helpers()
         N = self.tok.n_doc
         variants = [(b, lw, True) for lw in LW_CLASSES for b in buckets]
         variants += [(b, None, False) for b in buckets]
-        for b, lw, bounded in variants:
+
+        def one(v):
+            b, lw, bounded = v
             bx = np.full((b, N), -1, np.int32)
             bl = np.zeros(b, np.int32)
             ids, st, counts, fb = self._kernel(
                 jnp.asarray(bx), jnp.asarray(bl), unk_id, lw=lw, bounded=bounded
             )
             np.asarray(pack_out_compact(ids, st, counts, fb))
+
+        # first variant alone: it also pays one-time costs (table upload /
+        # densify, helper compiles) that must not be raced
+        one(variants[0])
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(one, variants[1:]))
 
     # ---------------------------------------------------------------- native
     # Production path: prep + unit split + dedup + packing in one C++ call
@@ -326,7 +343,6 @@ class UnitRunner:
             tok.seg.use_raw_bytes, tok.seg.no_dummy_prefix, tok.seg.charmap,
             cache=cache,
         )
-        pending = []  # (actual_rows, device handle)
         # length-class regions hold only SPM-initial units no longer than
         # their class depth: the short unrolled walks are exact there
         # (bounded by the unit length); region B rows get the full depth
@@ -335,6 +351,9 @@ class UnitRunner:
             (nu.split_rows1, nu.split_rows, LW_CLASSES[1], True),
             (nu.split_rows, nu.n_rows, None, False),
         ]
+        outs = []  # full (PACK_ROWS, N+2) chunk outputs, packed-row order
+        row_map_parts = []  # packed row -> row index in the grouped transfer
+        n_chunks = 0
         for plo, phi, lw, bounded in parts:
             if phi <= plo:
                 continue
@@ -350,28 +369,47 @@ class UnitRunner:
                     jnp.asarray(bx), jnp.asarray(blen), unk_id,
                     lw=lw, bounded=bounded,
                 )
-                h = pack_out_compact(ids, st, counts, fb)
-                try:
-                    h.copy_to_host_async()
-                except Exception:
-                    pass  # backends without async d2h: the read below blocks
-                pending.append((n, h))
+                outs.append(pack_out_compact(ids, st, counts, fb))
+                row_map_parts.append(n_chunks * b + np.arange(n, dtype=np.int32))
+                n_chunks += 1
                 lo += n
-        return nu, pending
+        # Few d2h transfers per batch: chunks are device-concatenated in
+        # FIXED-SHAPE groups (GROUP_CHUNKS x PACK_ROWS rows — a varying
+        # group shape would compile a fresh concat program per batch) and
+        # each group's transfer starts immediately.  The stitch maps packed
+        # rows to their transfer rows via row_map (padding rows skipped).
+        pending = []
+        for g in range(0, len(outs), GROUP_CHUNKS):
+            grp = outs[g : g + GROUP_CHUNKS]
+            while len(grp) < GROUP_CHUNKS:
+                grp.append(outs[0])  # pad group with a same-shape dummy
+            h = jnp.concatenate(grp, axis=0)
+            try:
+                h.copy_to_host_async()
+            except Exception:
+                pass  # backends without async d2h: the read below blocks
+            pending.append(h)
+        row_map = (
+            np.concatenate(row_map_parts) if row_map_parts
+            else np.zeros(0, np.int32)
+        )
+        return nu, pending, row_map
 
     def collect_docs(self, state):
         """Returns (flat ids int32, bounds int64 (B+1,), need_fb bool (B,),
         status uint8 (B,) — 0 ok / 1 invalid / 2 overflow)."""
-        nu, pending = state
-        if nu.n_rows == 0:
+        nu, pending, row_map = state
+        if nu.n_rows == 0 or not pending:
             rows = np.zeros((0, nu.n_sym + 2), np.int32)
-        elif len(pending) == 1:
-            rows = np.asarray(pending[0][1])[: pending[0][0]]
-        else:
-            rows = np.concatenate(
-                [np.asarray(h)[:n] for n, h in pending if n], axis=0
-            )
-        ids, bounds, need = nu.stitch(np.ascontiguousarray(rows), ID_SHIFT)
+            ids, bounds, need = nu.stitch(rows, ID_SHIFT)
+            return ids, bounds, need, nu.status
+        rows = (
+            np.asarray(pending[0]) if len(pending) == 1
+            else np.concatenate([np.asarray(h) for h in pending], axis=0)
+        )
+        ids, bounds, need = nu.stitch(
+            np.ascontiguousarray(rows), ID_SHIFT, row_map=row_map
+        )
         return ids, bounds, need, nu.status
 
     def encode_docs(self, docs_b: list[bytes], unk_id: int):

@@ -24,11 +24,21 @@ def ensure_compile_cache() -> None:
         return
     d = d or os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if not d:
-        return
+        # default to a per-user cache: without a live persistent cache every
+        # process pays ~10 s PER resolve-program compile (round-5 finding —
+        # the round-4 "231 s warm" was this no-op branch, not the device)
+        d = os.path.join(
+            os.environ.get("XDG_CACHE_HOME")
+            or os.path.join(os.path.expanduser("~"), ".cache"),
+            "blingfire_tpu", "jax_cache",
+        )
     try:
         import jax
 
+        os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0.2 s: also persist the walk programs (~0.8 s compiles) — loading
+        # a cached executable through the tunnel beats recompiling it
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
     except Exception:
         pass
