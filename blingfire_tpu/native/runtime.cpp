@@ -25,6 +25,7 @@
 #include <cstring>
 #include <mutex>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -1746,17 +1747,38 @@ int IdsToText(void* h, const int32_t* ids, const int count, char* out,
 // ids from the device output.  Mirrors the unique-unit pipeline of
 // native/prep.cpp for the [pos-dict] family.
 
-struct WpBatch {
-    int n_docs = 0;
+// Cross-batch span cache (round 5, mirroring prep.cpp::BtlUnitCache): the
+// (fn, folded cps) -> sub-token ids map persists across batches, so only
+// never-resolved words are packed for the device.  Resolution codes in
+// r_cnt: >= 0 ids in arena; -1 device-fallback; -2 uncovered -> emit unk.
+struct WpCache {
     std::vector<int32_t> u_syms;     // concatenated guarded+folded span cps
     std::vector<int32_t> u_soff;     // (U+1)
     std::vector<int32_t> u_fn;       // fn id per unique span
-    std::vector<int32_t> inst_unit;  // -1 = WORD without runnable fn -> unk
-    std::vector<int64_t> doc_inst_off;  // (B+1)
-    std::vector<uint8_t> status;     // 0 ok / 1 invalid / 2 fallback
     std::vector<int64_t> tab;
     int64_t mask = 0;
+    std::vector<int64_t> r_off;      // -1 = unresolved
+    std::vector<int32_t> r_cnt;
+    std::vector<uint8_t> pending;
+    std::vector<int32_t> r_ids;      // arena
+    WpCache() { u_soff.push_back(0); }
+    int32_t units() const { return (int32_t)u_soff.size() - 1; }
+};
+
+struct WpBatch {
+    int n_docs = 0;
+    WpCache* cache = nullptr;
+    bool owns_cache = false;
+    std::vector<int32_t> local_units;   // global ids packed THIS batch
+    std::vector<int32_t> inst_unit;  // GLOBAL id; -1 = WORD w/o fn -> unk
+    std::vector<int64_t> doc_inst_off;  // (B+1)
+    std::vector<uint8_t> status;     // 0 ok / 1 invalid / 2 fallback
     int64_t total_cps = 0;
+    ~WpBatch() {
+        if (owns_cache) { delete cache; return; }
+        for (int32_t u : local_units)
+            if (cache->r_off[u] < 0) cache->pending[u] = 0;
+    }
 };
 
 static uint64_t wp_hash(int fn, const int32_t* s, int len) {
@@ -1766,36 +1788,43 @@ static uint64_t wp_hash(int fn, const int32_t* s, int len) {
     return h ^ (h >> 29);
 }
 
-static void wp_rehash(WpBatch* st, int64_t cap) {
-    st->tab.assign(cap, -1);
-    st->mask = cap - 1;
-    int U = (int)st->u_soff.size() - 1;
+static void wp_rehash(WpCache* c, int64_t cap) {
+    c->tab.assign(cap, -1);
+    c->mask = cap - 1;
+    int U = c->units();
     for (int u = 0; u < U; ++u) {
-        uint64_t h = wp_hash(st->u_fn[u], st->u_syms.data() + st->u_soff[u],
-                             st->u_soff[u + 1] - st->u_soff[u]) & st->mask;
-        while (st->tab[h] >= 0) h = (h + 1) & st->mask;
-        st->tab[h] = u;
+        uint64_t h = wp_hash(c->u_fn[u], c->u_syms.data() + c->u_soff[u],
+                             c->u_soff[u + 1] - c->u_soff[u]) & c->mask;
+        while (c->tab[h] >= 0) h = (h + 1) & c->mask;
+        c->tab[h] = u;
     }
 }
 
-static int32_t wp_intern(WpBatch* st, int fn, const int32_t* s, int len) {
-    if ((int64_t)st->u_soff.size() * 2 + 2 > st->mask)
-        wp_rehash(st, (st->mask + 1) * 2);
-    uint64_t h = wp_hash(fn, s, len) & st->mask;
+static int32_t wp_intern(WpCache* c, int fn, const int32_t* s, int len,
+                         bool* fresh) {
+    if ((int64_t)c->u_soff.size() * 2 + 2 > c->mask)
+        wp_rehash(c, (c->mask + 1) * 2);
+    uint64_t h = wp_hash(fn, s, len) & c->mask;
     while (true) {
-        int64_t u = st->tab[h];
+        int64_t u = c->tab[h];
         if (u < 0) break;
-        int ulen = st->u_soff[u + 1] - st->u_soff[u];
-        if (ulen == len && st->u_fn[u] == fn &&
-            memcmp(st->u_syms.data() + st->u_soff[u], s, (size_t)len * 4) == 0)
+        int ulen = c->u_soff[u + 1] - c->u_soff[u];
+        if (ulen == len && c->u_fn[u] == fn &&
+            memcmp(c->u_syms.data() + c->u_soff[u], s, (size_t)len * 4) == 0) {
+            *fresh = false;
             return (int32_t)u;
-        h = (h + 1) & st->mask;
+        }
+        h = (h + 1) & c->mask;
     }
-    int32_t u = (int32_t)st->u_soff.size() - 1;
-    st->u_syms.insert(st->u_syms.end(), s, s + len);
-    st->u_soff.push_back((int32_t)st->u_syms.size());
-    st->u_fn.push_back(fn);
-    st->tab[h] = u;
+    int32_t u = c->units();
+    c->u_syms.insert(c->u_syms.end(), s, s + len);
+    c->u_soff.push_back((int32_t)c->u_syms.size());
+    c->u_fn.push_back(fn);
+    c->r_off.push_back(-1);
+    c->r_cnt.push_back(0);
+    c->pending.push_back(0);
+    c->tab[h] = u;
+    *fresh = true;
     return u;
 }
 
@@ -1864,8 +1893,14 @@ static bool wp_scan_doc(const WbdModel& w, WpBatch* st,
                         if (w.ignore_case) iw = fold_lower(iw);
                         folded[q] = iw;
                     }
-                    st->inst_unit.push_back(
-                        wp_intern(st, fn, folded.data(), len));
+                    WpCache* c = st->cache;
+                    bool fresh = false;
+                    int32_t u = wp_intern(c, fn, folded.data(), len, &fresh);
+                    if (fresh || (c->r_off[u] < 0 && !c->pending[u])) {
+                        st->local_units.push_back(u);
+                        c->pending[u] = 1;
+                    }
+                    st->inst_unit.push_back(u);
                     st->total_cps += len;
                 } else {
                     st->inst_unit.push_back(-1);  // WORD with no fn -> unk
@@ -1885,35 +1920,46 @@ extern "C" {
 
 // out_counts: [0]=U unique spans, [1]=len(u_syms), [2]=I instances,
 //             [3]=output-id capacity bound
-void* BtlWpAnalyze(void* model, const char* docs, const int64_t* doc_off,
-                   int n_docs, int max_unit, int64_t* out_counts) {
-    ModelData* md = (ModelData*)model;
-    if (!md || !md->has_wbd) return nullptr;
-    const WbdModel& w = md->wbd;
-    WpBatch* st = new WpBatch();
-    st->n_docs = n_docs;
-    st->status.assign(n_docs, 0);
-    st->doc_inst_off.assign(n_docs + 1, 0);
-    st->u_soff.assign(1, 0);
-    wp_rehash(st, 1 << 14);
+void* BtlWpCacheNew() {
+    WpCache* c = new WpCache();
+    wp_rehash(c, 1 << 14);
+    return c;
+}
+void BtlWpCacheFree(void* h) { delete (WpCache*)h; }
+void BtlWpCacheStats(void* h, int64_t* out) {
+    WpCache* c = (WpCache*)h;
+    int U = c->units();
+    int64_t resolved = 0;
+    for (int u = 0; u < U; ++u) resolved += c->r_off[u] >= 0;
+    out[0] = U;
+    out[1] = resolved;
+    out[2] = (int64_t)c->r_ids.size();
+    out[3] = (int64_t)(c->u_syms.size() + c->r_ids.size()) * 4 +
+             (int64_t)(c->tab.size() + c->r_off.size()) * 8;
+}
 
+// Scan a contiguous doc range into `st` (st->cache must be private to the
+// calling thread; doc/instance offsets are st-relative starting at d0).
+static void wp_scan_range(const WbdModel& w, WpBatch* st, const char* docs,
+                          const int64_t* doc_off, int d0, int d1,
+                          int max_unit) {
     std::vector<int> cps, offs;
-    for (int d = 0; d < n_docs; ++d) {
-        st->doc_inst_off[d] = (int64_t)st->inst_unit.size();
+    for (int d = d0; d < d1; ++d) {
+        st->doc_inst_off[d - d0] = (int64_t)st->inst_unit.size();
         const uint8_t* p = (const uint8_t*)docs + doc_off[d];
         int n = (int)(doc_off[d + 1] - doc_off[d]);
-        if (n <= 0) { st->status[d] = 1; continue; }
+        if (n <= 0) { st->status[d - d0] = 1; continue; }
         cps.clear(); offs.clear();
         if (!utf8_decode(p, n, cps, offs) || (int)cps.size() == 0 ||
             (int)cps.size() > n) {
-            st->status[d] = 1;
+            st->status[d - d0] = 1;
             continue;
         }
         if (w.has_charmap) {
             std::vector<int> norm, no;
             charmap_normalize(w.charmap, cps, norm, no);
             if ((int)norm.size() <= 0 || (int)norm.size() > n) {
-                st->status[d] = 1;
+                st->status[d - d0] = 1;
                 continue;
             }
             cps.swap(norm);
@@ -1921,22 +1967,135 @@ void* BtlWpAnalyze(void* model, const char* docs, const int64_t* doc_off,
         size_t mark = st->inst_unit.size();
         if (!wp_scan_doc(w, st, cps, max_unit)) {
             st->inst_unit.resize(mark);  // discard partial instances
-            st->status[d] = 2;
+            st->status[d - d0] = 2;
         }
     }
+    st->doc_inst_off[d1 - d0] = (int64_t)st->inst_unit.size();
+}
+
+void* BtlWpAnalyzeC(void* cache_h, void* model, const char* docs,
+                    const int64_t* doc_off,
+                    int n_docs, int max_unit, int64_t* out_counts) {
+    ModelData* md = (ModelData*)model;
+    if (!md || !md->has_wbd) return nullptr;
+    const WbdModel& w = md->wbd;
+    WpBatch* st = new WpBatch();
+    st->n_docs = n_docs;
+    st->status.assign(n_docs, 0);
+    st->doc_inst_off.assign(n_docs + 1, 0);
+    if (cache_h) {
+        st->cache = (WpCache*)cache_h;
+        st->owns_cache = false;
+    } else {
+        st->cache = new WpCache();
+        st->owns_cache = true;
+        wp_rehash(st->cache, 1 << 14);
+    }
+
+    // The level-0 scan is the CPU-heavy stage and is per-doc independent:
+    // shard docs across threads, each scanning into a PRIVATE intern, then
+    // merge the shards into the shared cache serially (cheap: unique units
+    // only).  n_threads caps at the core count (2 on this box).
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads > 4) n_threads = 4;
+    if (n_threads < 1) n_threads = 1;
+    int64_t total_bytes = doc_off[n_docs] - doc_off[0];
+    if (n_threads > 1 && n_docs >= 64 && total_bytes >= (64 << 10)) {
+        std::vector<WpBatch*> shards(n_threads);
+        std::vector<std::thread> threads;
+        std::vector<int> bounds(n_threads + 1);
+        for (int t = 0; t <= n_threads; ++t)
+            bounds[t] = (int)((int64_t)n_docs * t / n_threads);
+        for (int t = 0; t < n_threads; ++t) {
+            WpBatch* sh = new WpBatch();
+            int nd = bounds[t + 1] - bounds[t];
+            sh->n_docs = nd;
+            sh->status.assign(nd, 0);
+            sh->doc_inst_off.assign(nd + 1, 0);
+            sh->cache = new WpCache();
+            sh->owns_cache = true;
+            wp_rehash(sh->cache, 1 << 14);
+            shards[t] = sh;
+            threads.emplace_back([&w, sh, docs, doc_off, t, &bounds,
+                                  max_unit]() {
+                wp_scan_range(w, sh, docs, doc_off, bounds[t], bounds[t + 1],
+                              max_unit);
+            });
+        }
+        for (auto& th : threads) th.join();
+        // serial merge into the shared cache
+        WpCache* c = st->cache;
+        std::vector<int32_t> remap;
+        for (int t = 0; t < n_threads; ++t) {
+            WpBatch* sh = shards[t];
+            WpCache* lc = sh->cache;
+            int LU = lc->units();
+            remap.assign(LU, -1);
+            for (int lu = 0; lu < LU; ++lu) {
+                bool fresh = false;
+                int32_t g = wp_intern(
+                    c, lc->u_fn[lu], lc->u_syms.data() + lc->u_soff[lu],
+                    lc->u_soff[lu + 1] - lc->u_soff[lu], &fresh);
+                if (fresh || (c->r_off[g] < 0 && !c->pending[g])) {
+                    st->local_units.push_back(g);
+                    c->pending[g] = 1;
+                }
+                remap[lu] = g;
+            }
+            int d0 = bounds[t];
+            for (int d = 0; d < sh->n_docs; ++d) {
+                st->doc_inst_off[d0 + d] =
+                    (int64_t)st->inst_unit.size();
+                st->status[d0 + d] = sh->status[d];
+                for (int64_t i = sh->doc_inst_off[d];
+                     i < sh->doc_inst_off[d + 1]; ++i) {
+                    int32_t lu = sh->inst_unit[i];
+                    st->inst_unit.push_back(lu < 0 ? -1 : remap[lu]);
+                }
+            }
+            st->total_cps += sh->total_cps;
+            delete sh;
+        }
+    } else {
+        wp_scan_range(w, st, docs, doc_off, 0, n_docs, max_unit);
+    }
     st->doc_inst_off[n_docs] = (int64_t)st->inst_unit.size();
-    out_counts[0] = (int64_t)st->u_soff.size() - 1;
-    out_counts[1] = (int64_t)st->u_syms.size();
+    // counts describe the LOCAL (to-pack) units; [4] = global intern size
+    WpCache* c = st->cache;
+    int64_t s_local = 0;
+    for (int32_t u : st->local_units)
+        s_local += c->u_soff[u + 1] - c->u_soff[u];
+    out_counts[0] = (int64_t)st->local_units.size();
+    out_counts[1] = s_local;
     out_counts[2] = (int64_t)st->inst_unit.size();
     out_counts[3] = st->total_cps + (int64_t)st->inst_unit.size() + 16;
+    out_counts[4] = c->units();
     return st;
 }
 
+void* BtlWpAnalyze(void* model, const char* docs, const int64_t* doc_off,
+                   int n_docs, int max_unit, int64_t* out_counts) {
+    int64_t c5[5];
+    void* st = BtlWpAnalyzeC(nullptr, model, docs, doc_off, n_docs, max_unit,
+                             c5);
+    for (int i = 0; i < 4; ++i) out_counts[i] = c5[i];
+    return st;
+}
+
+// Emit the LOCAL units (this batch's cache misses) for device packing.
 void BtlWpUnits(void* h, int32_t* u_syms, int32_t* u_soff, int32_t* u_fn) {
     WpBatch* st = (WpBatch*)h;
-    memcpy(u_syms, st->u_syms.data(), st->u_syms.size() * 4);
-    memcpy(u_soff, st->u_soff.data(), st->u_soff.size() * 4);
-    memcpy(u_fn, st->u_fn.data(), st->u_fn.size() * 4);
+    WpCache* c = st->cache;
+    int64_t s = 0;
+    u_soff[0] = 0;
+    for (size_t li = 0; li < st->local_units.size(); ++li) {
+        int32_t u = st->local_units[li];
+        int len = c->u_soff[u + 1] - c->u_soff[u];
+        memcpy(u_syms + s, c->u_syms.data() + c->u_soff[u], (size_t)len * 4);
+        s += len;
+        u_soff[li + 1] = (int32_t)s;
+        u_fn[li] = c->u_fn[u];
+    }
 }
 
 // rows: (rows_n, stride) int32 device output; lane j < count holds
@@ -1948,26 +2107,30 @@ int64_t BtlWpStitch(void* h, const int32_t* rows, int64_t rows_n, int stride,
                     int32_t* out_ids, int64_t cap, int64_t* out_bounds,
                     uint8_t* need_fb) {
     WpBatch* st = (WpBatch*)h;
-    int U = (int)st->u_soff.size() - 1;
-    // per-unit sub-token resolution
-    std::vector<int32_t> u_ids_off(U + 1, 0);
-    std::vector<int32_t> u_ids;
-    u_ids.reserve(st->total_cps);
-    std::vector<uint8_t> u_fb(U, 0);
-    // units sorted by (row, off) so each row is walked once
-    std::vector<int32_t> order(U);
-    for (int u = 0; u < U; ++u) order[u] = u;
+    WpCache* c = st->cache;
+    int NL = (int)st->local_units.size();
+    // resolve this batch's LOCAL units from the device rows into the cache
+    // (u_row/u_off index the local list); recurring units across batches
+    // read straight from the cache arena (cross-batch dedup).
+    // Local units sorted by (row, off) so each row is walked once.
+    std::vector<int32_t> order(NL);
+    for (int li = 0; li < NL; ++li) order[li] = li;
     std::sort(order.begin(), order.end(), [&](int a, int b) {
         if (u_row[a] != u_row[b]) return u_row[a] < u_row[b];
         return u_off[a] < u_off[b];
     });
     std::vector<int32_t> tmp;
-    for (int oi = 0; oi < U; ++oi) {
-        int u = order[oi];
-        int r = u_row[u];
-        int off = u_off[u];
-        int ulen = st->u_soff[u + 1] - st->u_soff[u];
-        if (r >= rows_n) { u_fb[u] = 1; continue; }
+    for (int oi = 0; oi < NL; ++oi) {
+        int li = order[oi];
+        int32_t u = st->local_units[li];
+        int r = u_row[li];
+        int off = u_off[li];
+        int ulen = c->u_soff[u + 1] - c->u_soff[u];
+        c->pending[u] = 0;
+        if (r >= rows_n) {
+            if (c->r_off[u] < 0) { c->r_off[u] = 0; c->r_cnt[u] = -1; }
+            continue;
+        }
         const int32_t* row = rows + (int64_t)r * stride;
         int cnt = row[stride - 2];
         // lane format (ops/lexer.py::pack_lex_rows): (tag+1) in bits 0..16,
@@ -1995,25 +2158,16 @@ int64_t BtlWpStitch(void* h, const int32_t* rows, int64_t rows_n, int stride,
         }
         int sub_n = (int)tmp.size();
         bool covered = (sub_n > 0) && (expected == ulen) && !broken;
-        if (nested) { u_fb[u] = 1; continue; }
-        if (covered) {
-            for (int k = 0; k < sub_n; ++k) u_ids.push_back(tmp[k]);
+        if (nested) {
+            c->r_off[u] = 0;
+            c->r_cnt[u] = -1;  // device-fallback
+        } else if (covered) {
+            c->r_off[u] = (int64_t)c->r_ids.size();
+            c->r_cnt[u] = sub_n;
+            c->r_ids.insert(c->r_ids.end(), tmp.begin(), tmp.end());
         } else {
-            u_ids.push_back(unk_id);
-        }
-        u_ids_off[u + 1] = covered ? sub_n : 1;
-    }
-    // prefix-sum offsets (order[] walked out of unit order, so offsets are
-    // finalized afterwards by re-walking the u_ids stream in sorted order)
-    std::vector<int32_t> u_begin(U, 0), u_cnt(U, 0);
-    {
-        int64_t t = 0;
-        for (int oi = 0; oi < U; ++oi) {
-            int u = order[oi];
-            int c = u_ids_off[u + 1];
-            u_begin[u] = (int32_t)t;
-            u_cnt[u] = c;
-            t += c;
+            c->r_off[u] = 0;
+            c->r_cnt[u] = -2;  // uncovered word -> emit caller's unk id
         }
     }
     int64_t t = 0;
@@ -2023,21 +2177,21 @@ int64_t BtlWpStitch(void* h, const int32_t* rows, int64_t rows_n, int stride,
         bool fb = st->status[d] == 2;
         for (int64_t i = i0; !fb && i < i1; ++i) {
             int32_t u = st->inst_unit[i];
-            if (u >= 0 && u_fb[u]) fb = true;
+            if (u >= 0 && (c->r_off[u] < 0 || c->r_cnt[u] == -1)) fb = true;
         }
         need_fb[d] = fb ? 1 : 0;
         if (!fb && st->status[d] == 0) {
             for (int64_t i = i0; i < i1; ++i) {
                 int32_t u = st->inst_unit[i];
-                if (u < 0) {
+                if (u < 0 || c->r_cnt[u] == -2) {
                     if (t + 1 > cap) return -1;
                     out_ids[t++] = unk_id;
                 } else {
-                    int c = u_cnt[u];
-                    if (t + c > cap) return -1;
-                    memcpy(out_ids + t, u_ids.data() + u_begin[u],
-                           (size_t)c * 4);
-                    t += c;
+                    int cc = c->r_cnt[u];
+                    if (t + cc > cap) return -1;
+                    memcpy(out_ids + t, c->r_ids.data() + c->r_off[u],
+                           (size_t)cc * 4);
+                    t += cc;
                 }
             }
         }

@@ -176,6 +176,164 @@ def lexer_pass(
     return visited, tag, from2, to2, fn
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
+def _scatter_dense(idx, vals, size: int):
+    return jnp.full(size, -1, jnp.int32).at[idx].set(vals)
+
+
+def make_dense_sub(table: CombTable, moore_ow, fn_inis: list[int]):
+    """Dense finals-first expansion of the sub-token grammar.
+
+    The comb walk costs 5 gathers per step (base/owner/nxt/final/moore_ow);
+    with a dense (state, iw) -> next table, finals numbered FIRST (so
+    ``fin == ns < n_f``) and the action Ow gathered ONCE from the deepest
+    final after the loop, the walk is 1 gather per step — the same trick as
+    the BPE vocabulary trie (ops/bpe.py).  Ships as CSR + device scatter.
+
+    Returns (dnext_dev, ow_perm_dev, perm_np, n_f, n_reach) or None when
+    the dense table would be unreasonably large."""
+    base = np.asarray(table.base)
+    owner = np.asarray(table.owner)
+    nxt = np.asarray(table.nxt)
+    final = np.asarray(table.final)
+    A = table.n_iws
+    S = table.n_states
+    occ = np.flatnonzero(owner >= 0)
+    order = np.argsort(owner[occ], kind="stable")
+    so = owner[occ][order]
+    slot_sorted = occ[order]
+    iw_sorted = (occ - base[owner[occ]])[order]
+    row = np.searchsorted(so, np.arange(S + 1))
+    seen = np.zeros(S, bool)
+    stack = [s for s in dict.fromkeys(fn_inis) if 0 <= s < S]
+    for s in stack:
+        seen[s] = True
+    e_src, e_iw, e_dst = [], [], []
+    while stack:
+        s = stack.pop()
+        for k in range(row[s], row[s + 1]):
+            d = int(nxt[slot_sorted[k]])
+            if d < 0:
+                continue
+            e_src.append(s)
+            e_iw.append(int(iw_sorted[k]))
+            e_dst.append(d)
+            if not seen[d]:
+                seen[d] = True
+                stack.append(d)
+    reach = np.flatnonzero(seen)
+    n_reach = len(reach)
+    if n_reach * A > 256_000_000:
+        return None
+    # finals first
+    fin_mask = final[reach]
+    ordered = np.concatenate([reach[fin_mask], reach[~fin_mask]])
+    n_f = int(fin_mask.sum())
+    perm = np.full(S, -1, np.int64)
+    perm[ordered] = np.arange(n_reach)
+    es = perm[np.asarray(e_src, np.int64)]
+    ed = perm[np.asarray(e_dst, np.int64)]
+    idx = (es * A + np.asarray(e_iw, np.int64)).astype(np.int64)
+    ow_perm = np.zeros(max(n_reach, 1), np.int32)
+    ow_perm[perm[ordered]] = np.asarray(moore_ow)[ordered]
+    dnext = _scatter_dense(
+        jnp.asarray(idx.astype(np.int32)), jnp.asarray(ed.astype(np.int32)),
+        int(n_reach * A),
+    )
+    return dnext, jnp.asarray(ow_perm), perm, n_f, n_reach
+
+
+@functools.partial(jax.jit, static_argnames=("lw", "n_f", "n_a"))
+def wp_subword_pass_dense(
+    tables: LexerDeviceTables,
+    dnext: jax.Array,  # int32 [n_reach * n_a] dense finals-first next table
+    ow_perm: jax.Array,  # int32 [n_reach] Moore Ow by permuted state
+    x: jax.Array,
+    init_lanes: jax.Array,  # PERMUTED per-lane initial states
+    l_iw: jax.Array,
+    r_iw: jax.Array,
+    lw: int,
+    n_f: int,
+    n_a: int,
+):
+    """wp_subword_pass with the 1-gather dense walk (see make_dense_sub)."""
+    B, M = x.shape
+    pos = jnp.arange(M, dtype=jnp.int32)
+    x_pad = jnp.pad(x, ((0, 0), (0, lw + 1)), constant_values=-1)
+
+    is_l = x == l_iw
+    valid_start = (x >= 0) & (x != r_iw)
+
+    state = jnp.where(valid_start, init_lanes, -1).astype(jnp.int32)
+    fin_pos = jnp.full((B, M), -1, jnp.int32)
+    fin_state = jnp.full((B, M), -1, jnp.int32)
+    top = dnext.shape[0] - 1
+    for d in range(lw):
+        c = x_pad[:, d : d + M]
+        flat = jnp.clip(
+            jnp.maximum(state, 0) * n_a + jnp.maximum(c, 0), 0, top
+        )
+        ns = jnp.where((state >= 0) & (c >= 0), dnext[flat], -1)
+        if d >= tables.max_token_length:
+            # letters beyond the token-length bound only via the R anchor
+            ns = jnp.where(c == r_iw, ns, -1)
+        fin = (ns >= 0) & (ns < n_f)
+        fin_pos = jnp.where(fin, pos + d, fin_pos)
+        fin_state = jnp.where(fin, ns, fin_state)
+        state = ns
+
+    # ONE Ow gather for the deepest final per start (replaces the per-step
+    # final[]/moore_ow[] gathers of the comb walk)
+    fin_ow = jnp.where(
+        fin_state >= 0,
+        ow_perm[jnp.clip(fin_state, 0, ow_perm.shape[0] - 1)],
+        -1,
+    )
+    return _wp_emit(tables, x, fin_pos, fin_ow, is_l, valid_start, pos)
+
+
+def _wp_emit(tables, x, fin_pos, fin_ow, is_l, valid_start, pos):
+    """Shared SCAN+EMIT tail of the wp sub-token passes."""
+    B, M = x.shape
+    right = tables.act_right[jnp.maximum(fin_ow, 0)]
+    tag = jnp.where(fin_ow >= 0, tables.act_tag[jnp.maximum(fin_ow, 0)], 0)
+    fn = jnp.where(fin_ow >= 0, tables.act_fn[jnp.maximum(fin_ow, 0)], -1)
+
+    from_orig = jnp.where(is_l, pos[None, :], pos[None, :] - 1)
+    fpos_orig = fin_pos - 1
+    from2 = jnp.clip(from_orig, 0, M - 1)
+    to2 = jnp.clip(fpos_orig - right, 0, M - 1)
+
+    has = fin_pos >= 0
+    skip_to = jnp.where(has, jnp.maximum(from_orig, fpos_orig - right), from_orig)
+
+    def scan_step(nv, inp):
+        q, skip_q = inp
+        vis = nv == q
+        nv = jnp.where(vis, skip_q + 1 + 1, nv)
+        return nv, vis
+
+    _, vis_t = jax.lax.scan(
+        scan_step, jnp.zeros(B, jnp.int32), (pos, skip_to.T)
+    )
+    visited = vis_t.T & valid_start & has
+
+    emit = visited & ((tag != 0) | (fn >= 0))
+    lane = (
+        (tag + 1)
+        | (from2 << 17)
+        | (to2 << 24)
+        | ((fn >= 0).astype(jnp.int32) << 31)
+    )
+    key = jnp.where(emit, pos[None, :], INT32_MAX)
+    skey, svals = jax.lax.sort([key, lane], dimension=1, num_keys=1)
+    svals = jnp.where(skey != INT32_MAX, svals, 0)
+    counts = jnp.sum(emit, axis=1).astype(jnp.int32)
+    return jnp.concatenate(
+        [svals, counts[:, None], jnp.zeros((B, 1), jnp.int32)], axis=1
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("lw",))
 def wp_subword_pass(
     tables: LexerDeviceTables,

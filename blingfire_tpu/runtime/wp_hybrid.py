@@ -34,7 +34,37 @@ MAX_UNIT = 40  # longest word the device path handles (fallback beyond)
 LW_CLASSES = (16, MAX_UNIT)  # unit-length classes -> walk depth lw = len + 2
 ROW_W = 128
 
-from .dedup import ROW_BUCKETS, _row_chunks  # shared bucket decomposition
+from .dedup import (  # shared bucket decomposition + d2h grouping
+    GROUP_CHUNKS,
+    ROW_BUCKETS,
+    _row_chunks,
+)
+
+
+class WpUnitCache:
+    """Cross-batch (word -> sub-token ids) cache for the hybrid path."""
+
+    def __init__(self, rt):
+        self._rt = rt
+        self._handle = rt.BtlWpCacheNew()
+
+    def stats(self) -> dict:
+        s = np.zeros(4, np.int64)
+        self._rt.BtlWpCacheStats(self._handle,
+                                 s.ctypes.data_as(ctypes.c_void_p))
+        return {"units": int(s[0]), "resolved": int(s[1]),
+                "arena_ids": int(s[2]), "bytes": int(s[3])}
+
+    def close(self):
+        if self._handle is not None:
+            self._rt.BtlWpCacheFree(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class WordPieceHybrid:
@@ -68,11 +98,19 @@ class WordPieceHybrid:
         self._rt = native.get_runtime()
         self._nh = None
         if self._rt is not None:
-            self._rt.BtlWpAnalyze.restype = ctypes.c_void_p
-            self._rt.BtlWpAnalyze.argtypes = [
+            self._rt.BtlWpAnalyzeC.restype = ctypes.c_void_p
+            self._rt.BtlWpAnalyzeC.argtypes = [
+                ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p,
                 ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
             ]
+            self._rt.BtlWpCacheNew.restype = ctypes.c_void_p
+            self._rt.BtlWpCacheNew.argtypes = []
+            self._rt.BtlWpCacheFree.restype = None
+            self._rt.BtlWpCacheFree.argtypes = [ctypes.c_void_p]
+            self._rt.BtlWpCacheStats.restype = None
+            self._rt.BtlWpCacheStats.argtypes = [ctypes.c_void_p,
+                                                 ctypes.c_void_p]
             self._rt.BtlWpUnits.restype = None
             self._rt.BtlWpUnits.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
             self._rt.BtlWpStitch.restype = ctypes.c_int64
@@ -91,6 +129,14 @@ class WordPieceHybrid:
                 h = self._rt.SetModel(self._img_buf, len(img))
             self._nh = h if h else None
         self._safe = self._nh is not None and self._fn_pack_safe()
+        # dense finals-first sub-grammar (1 gather/step; ops/lexer.py)
+        self._dense = None
+        if self._safe:
+            inis = [s for s in self.engine.fn2ini[1:]
+                    if s is not None and s >= 0]
+            self._dense = lexer_ops.make_dense_sub(
+                self.comb, model.wbd.aut.moore_ow, inis
+            )
 
     def _map_raw(self, raw: np.ndarray) -> np.ndarray:
         m = self._iw2iw
@@ -150,7 +196,26 @@ class WordPieceHybrid:
 
     # ------------------------------------------------------------------ run
 
-    def dispatch(self, docs_b: list[bytes]):
+    def new_cache(self):
+        """Cross-batch word cache handle (runtime.cpp::WpCache)."""
+        return WpUnitCache(self._rt)
+
+    def _device_pass(self, bx, bi, lw: int):
+        import jax.numpy as jnp
+
+        if self._dense is not None:
+            dnext, ow_perm, _perm, n_f, _n_reach = self._dense
+            return lexer_ops.wp_subword_pass_dense(
+                self.tables, dnext, ow_perm, bx, bi,
+                jnp.int32(self._l_iw), jnp.int32(self._r_iw), lw,
+                n_f, self._n_iws,
+            )
+        return lexer_ops.wp_subword_pass(
+            self.tables, bx, bi,
+            jnp.int32(self._l_iw), jnp.int32(self._r_iw), lw,
+        )
+
+    def dispatch(self, docs_b: list[bytes], cache=None):
         import jax.numpy as jnp
 
         rt = self._rt
@@ -158,14 +223,15 @@ class WordPieceHybrid:
         blob = b"".join(docs_b)
         doc_off = np.zeros(B + 1, np.int64)
         np.cumsum([len(d) for d in docs_b], out=doc_off[1:])
-        counts = np.zeros(4, np.int64)
-        h = rt.BtlWpAnalyze(
+        counts = np.zeros(5, np.int64)
+        h = rt.BtlWpAnalyzeC(
+            cache._handle if cache is not None else None,
             ctypes.c_void_p(self._nh), ctypes.c_char_p(blob),
             doc_off.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(B),
             ctypes.c_int(MAX_UNIT), counts.ctypes.data_as(ctypes.c_void_p),
         )
         assert h, "BtlWpAnalyze failed"
-        U, S, I, cap = (int(c) for c in counts)
+        U, S, I, cap = (int(c) for c in counts[:4])
         u_syms = np.empty(max(S, 1), np.int32)
         u_soff = np.empty(U + 1, np.int32)
         u_fn = np.empty(max(U, 1), np.int32)
@@ -190,6 +256,13 @@ class WordPieceHybrid:
              for f in self.engine.fn2ini] or [-1],
             np.int32,
         )
+        if self._dense is not None:
+            # dense walk uses PERMUTED state ids (finals first)
+            perm = self._dense[2]
+            ok = (fn2ini_arr >= 0) & (fn2ini_arr < len(perm))
+            fn2ini_arr = np.where(
+                ok, perm[np.clip(fn2ini_arr, 0, len(perm) - 1)], -1
+            ).astype(np.int32)
         iw_flat = self._map_raw(u_syms[:S]) if S else u_syms[:0]
 
         blocks_x: list[np.ndarray] = []
@@ -232,7 +305,12 @@ class WordPieceHybrid:
         pinit = (np.concatenate(blocks_i) if blocks_i
                  else np.zeros((0, ROW_W), np.int32))
 
-        pending = []
+        # fixed 512-row dispatches; outputs grouped into fixed-shape device
+        # concats, one d2h per group (see runtime/dedup.py::dispatch_docs).
+        # rowmap[packed row] = row index within the concatenated transfer.
+        outs = []
+        rowmap = np.zeros(max(R, 1), np.int32)
+        n_chunks = 0
         for lo_row, hi_row, lw in class_rows:
             lo = lo_row
             if hi_row <= lo_row:
@@ -244,24 +322,31 @@ class WordPieceHybrid:
                 if n:
                     bx[:n] = px[lo : lo + n]
                     bi[:n] = pinit[lo : lo + n]
-                out = lexer_ops.wp_subword_pass(
-                    self.tables, jnp.asarray(bx), jnp.asarray(bi),
-                    jnp.int32(self._l_iw), jnp.int32(self._r_iw), lw,
-                )
-                try:
-                    out.copy_to_host_async()
-                except Exception:
-                    pass
-                pending.append((n, out))
+                out = self._device_pass(jnp.asarray(bx), jnp.asarray(bi), lw)
+                outs.append(out)
+                rowmap[lo : lo + n] = n_chunks * b + np.arange(n, dtype=np.int32)
+                n_chunks += 1
                 lo += n
-        return (h, B, u_row, u_off, pending)
+        pending = []
+        for g in range(0, len(outs), GROUP_CHUNKS):
+            grp = outs[g : g + GROUP_CHUNKS]
+            while len(grp) < GROUP_CHUNKS:
+                grp.append(outs[0])
+            hcat = jnp.concatenate(grp, axis=0)
+            try:
+                hcat.copy_to_host_async()
+            except Exception:
+                pass
+            pending.append(hcat)
+        return (h, B, rowmap[u_row] if R else u_row, u_off, pending)
 
     def collect(self, state, unk_id: int, docs_b: list[bytes]):
         h, B, u_row, u_off, pending = state
         rt = self._rt
         if pending:
-            rows = np.concatenate(
-                [np.asarray(o)[:n] for n, o in pending if n], axis=0
+            rows = (
+                np.asarray(pending[0]) if len(pending) == 1
+                else np.concatenate([np.asarray(o) for o in pending], axis=0)
             )
         else:
             rows = np.zeros((0, ROW_W + 2), np.int32)
@@ -329,6 +414,7 @@ class WordPieceHybrid:
         docs_b = [d.encode("utf-8") if isinstance(d, str) else d for d in docs]
         parts = []
         inflight = []
+        ucache = self.new_cache()  # cumulative dedup over this call
 
         def do_collect(entry):
             chunk, state = entry
@@ -342,7 +428,7 @@ class WordPieceHybrid:
 
         for chunk in _batches_by_bytes(docs_b, batch_docs):
             with metrics.stage("dispatch", c):
-                state = self.dispatch(chunk)
+                state = self.dispatch(chunk, cache=ucache)
             c.bytes_in += sum(len(d) for d in chunk)
             c.docs_in += len(chunk)
             c.batches += 1
@@ -351,6 +437,7 @@ class WordPieceHybrid:
                 do_collect(inflight.pop(0))
         while inflight:
             do_collect(inflight.pop(0))
+        c.cache_units = ucache.stats()["units"]
 
         if len(parts) == 1:
             return parts[0]
@@ -381,9 +468,7 @@ class WordPieceHybrid:
             for b in buckets:
                 bx = np.full((b, ROW_W), -1, np.int32)
                 np.asarray(
-                    lexer_ops.wp_subword_pass(
-                        self.tables, jnp.asarray(bx), jnp.asarray(bx),
-                        jnp.int32(self._l_iw), jnp.int32(self._r_iw),
-                        cap_len + 2,
+                    self._device_pass(
+                        jnp.asarray(bx), jnp.asarray(bx), cap_len + 2
                     )
                 )
