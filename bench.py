@@ -242,6 +242,8 @@ def measure_sp_e2e(name: str) -> None:
         nbytes = sum(len(d) for d in docs)
         best = 0.0
         for _ in range(2):
+            # each trial starts a FRESH cross-batch unit cache (created per
+            # encode_corpus_flat call): no trial reuses a prior trial's work
             c = metrics.Counters()
             t0 = time.perf_counter()
             ids, bounds = tok.encode_corpus_flat(docs, batch_docs=65536, counters=c)
@@ -252,6 +254,8 @@ def measure_sp_e2e(name: str) -> None:
                round(100.0 * c.fallback_docs / max(c.docs_in, 1), 3))
         record(f"{name}_{label}stage_seconds",
                {k: round(v, 3) for k, v in c.stage_seconds.items()})
+        record(f"{name}_{label}cache_units", c.cache_units)
+        record(f"{name}_{label}dispatched_rows", c.dispatched_rows)
         log(f"{name}: {label or 'syn '}e2e {best/1e6:.2f} MB/s "
             f"({c.fallback_docs} fallbacks, tokens={len(ids)})")
     # device-only rate (dispatch+compute+read over pre-analyzed rows)
@@ -398,6 +402,29 @@ def measure_hyph(n_words: int = int(os.environ.get("BENCH_HYPH_WORDS", "20000"))
     log(f"syllab: device {nbytes / dt / 1e6:.2f} MB/s over {len(words)} words")
 
 
+def measure_lexer_device(n_docs: int = 4096):
+    """Device wbd/sbd rates, recorded so the docs and the bench agree on
+    what runs where (VERDICT r4 #7): production wbd/sbd is the native host
+    engine ({cfg}_path=native-host); these keys measure the parity-verified
+    device alternates on a corpus slice."""
+    from benchmarks.textgen import corpus_lines
+    from blingfire_tpu.models.loader import load_model
+    from blingfire_tpu.runtime.lexer_host import WordsTpu
+
+    docs = corpus_lines(n_docs, seed=5)
+    nbytes = sum(len(d) for d in docs)
+    for name, key in (("wbd", "wbd"), ("sbd", "sbd")):
+        wt = WordsTpu(load_model(f"{LDB}/{name}.bin"))
+        fn = (wt.text_to_words_batch if key == "wbd"
+              else wt.text_to_sentences_batch)
+        fn(docs[:256])  # compile
+        t0 = time.perf_counter()
+        fn(docs)
+        dt = time.perf_counter() - t0
+        record(f"{key}_device_bytes_per_s", round(nbytes / dt, 1))
+        log(f"{key}: device {nbytes / dt / 1e6:.2f} MB/s ({n_docs} docs)")
+
+
 STEPS = {
     "reference": measure_reference,
     "native": measure_native,
@@ -406,16 +433,18 @@ STEPS = {
     "roberta_e2e": measure_roberta,
     "bert": measure_wordpiece,
     "syllab": measure_hyph,
+    "lexer_device": measure_lexer_device,
 }
 
 STEP_TIMEOUT = {
-    "reference": 300.0,
+    "reference": 420.0,
     "native": 300.0,
     "gpt2_e2e": 420.0,
     "xlnet_e2e": 420.0,
     "roberta_e2e": 420.0,
-    "bert": 300.0,
+    "bert": 420.0,
     "syllab": 240.0,
+    "lexer_device": 420.0,
 }
 
 
@@ -432,7 +461,8 @@ def child_main(step: str) -> None:
 def parent_main() -> None:
     order = os.environ.get(
         "BENCH_STEPS",
-        "reference,native,gpt2_e2e,xlnet_e2e,bert,roberta_e2e,syllab",
+        "reference,native,gpt2_e2e,xlnet_e2e,bert,roberta_e2e,syllab,"
+        "lexer_device",
     ).split(",")
     for step in order:
         step = step.strip()

@@ -18,8 +18,12 @@ from . import api
 
 _MODEL_DIRS = [
     os.environ.get("BLINGFIRE_TPU_MODELS", ""),
-    "/root/reference/ldbsrc/ldb",
+    # bundled defaults FIRST: the package is self-contained (models_data
+    # holds the framework compiler's own wbd/sbd, parity-verified against
+    # the reference in tests/test_lex_compiler.py); a reference checkout is
+    # only a fallback for models we do not bundle
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "models_data"),
+    "/root/reference/ldbsrc/ldb",
 ]
 
 

@@ -183,5 +183,71 @@ class ShardedSpRunner:
         return (*out, nu.status, stats)
 
 
+class ShardedWpRunner:
+    """The bert hybrid's DEVICE stage (dense sub-token pass) data-parallel
+    over a mesh: packed unit rows shard over 'dp', tables replicate, token
+    counts psum (VERDICT r4 #4 — wp joins bpe/unigram in the sharded set).
+
+    Host stages (native scan/intern, packing, stitch) are unchanged from
+    WordPieceHybrid; this runner shards the row slab of one batch."""
+
+    def __init__(self, wp, mesh: Mesh | None = None):
+        from ..runtime.wp_hybrid import WordPieceHybrid
+
+        assert isinstance(wp, WordPieceHybrid)
+        assert wp.available() and wp._dense is not None
+        self.wp = wp
+        self.mesh = mesh or data_parallel_mesh()
+        self.n_dp = self.mesh.devices.size
+        self._data_sh = NamedSharding(self.mesh, P("dp", None))
+        self._rep_sh = NamedSharding(self.mesh, P())
+        rep = lambda t: jax.device_put(jnp.asarray(t), self._rep_sh)
+        self.tables = jax.tree.map(rep, wp.tables)
+        dnext, ow_perm, _perm, n_f, _n_reach = wp._dense
+        self._dnext = rep(dnext)
+        self._ow_perm = rep(ow_perm)
+        self._n_f = n_f
+        self._step_cache = {}
+
+    def _step(self, lw: int):
+        if lw in self._step_cache:
+            return self._step_cache[lw]
+        from ..ops import lexer as lexer_ops
+
+        wp = self.wp
+
+        @functools.partial(
+            jax.jit,
+            out_shardings=(self._data_sh, self._rep_sh, self._rep_sh),
+        )
+        def step(bx, bi):
+            out = lexer_ops.wp_subword_pass_dense(
+                self.tables, self._dnext, self._ow_perm, bx, bi,
+                jnp.int32(wp._l_iw), jnp.int32(wp._r_iw), lw,
+                self._n_f, wp._n_iws,
+            )
+            counts = out[:, -2]
+            pos = jnp.arange(out.shape[1] - 2, dtype=jnp.int32)[None, :]
+            masked = jnp.where(pos < counts[:, None], out[:, :-2], 0)
+            weights = pos * jnp.int32(-1640531527) + 1
+            return out, jnp.sum(counts), jnp.sum(masked * weights,
+                                                 dtype=jnp.int32)
+
+        self._step_cache[lw] = step
+        return step
+
+    def run_rows(self, bx: np.ndarray, bi: np.ndarray, lw: int):
+        """Shard one packed row slab; returns (rows_out, total, checksum)."""
+        R = bx.shape[0]
+        Rp = -(-max(R, 1) // self.n_dp) * self.n_dp
+        if Rp != R:
+            bx = np.pad(bx, ((0, Rp - R), (0, 0)), constant_values=-1)
+            bi = np.pad(bi, ((0, Rp - R), (0, 0)), constant_values=-1)
+        bxj = jax.device_put(jnp.asarray(bx), self._data_sh)
+        bij = jax.device_put(jnp.asarray(bi), self._data_sh)
+        out, total, checksum = self._step(lw)(bxj, bij)
+        return np.asarray(out)[:R], int(total), int(checksum)
+
+
 # Backwards-compatible name (r2/r3 API); BPE-only assertion dropped.
 ShardedBpeRunner = ShardedSpRunner
