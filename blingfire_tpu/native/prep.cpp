@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -295,6 +296,24 @@ static void units_rehash(BtlUnitCache* c, int64_t cap) {
     }
 }
 
+// Read-only probe: id of syms[0..len) in `c`, or -1.  Safe from scan
+// threads while no writer mutates `c` (analyze threads only read the
+// shared cache; all inserts happen in the serial merge).
+static int32_t unit_lookup(const BtlUnitCache* c, const int32_t* s, int len) {
+    if (c->hash_mask <= 0) return -1;
+    uint64_t h = hash_syms(s, len) & c->hash_mask;
+    while (true) {
+        int64_t u = c->hash_tab[h];
+        if (u < 0) return -1;
+        int ulen = c->u_soff[u + 1] - c->u_soff[u];
+        if (ulen == len &&
+            memcmp(c->u_syms.data() + c->u_soff[u], s,
+                   (size_t)len * 4) == 0)
+            return (int32_t)u;
+        h = (h + 1) & c->hash_mask;
+    }
+}
+
 // Returns the unique-unit id for syms[0..len), inserting if unseen
 // (*fresh = true for a newly interned unit).
 static int32_t unit_intern(BtlUnitCache* c, const int32_t* s, int len,
@@ -379,60 +398,191 @@ void* btl_units_analyze_c(void* cache_h, const uint8_t* docs,
     }
     BtlUnitCache* c = st->cache;
 
-    int64_t max_doc = 0;
-    for (int d = 0; d < n_docs; ++d) {
-        int64_t len = doc_off[d + 1] - doc_off[d];
-        if (len > max_doc) max_doc = len;
-    }
-    int64_t cap = 10 * max_doc + 16;
-    std::vector<int32_t> buf(cap), nbuf(cap), iw(cap);
-    std::vector<uint8_t> spmf(cap);
-
-    for (int d = 0; d < n_docs; ++d) {
-        st->doc_inst_off[d] = (int64_t)st->inst_unit.size();
-        const uint8_t* p = docs + doc_off[d];
-        int n = (int)(doc_off[d + 1] - doc_off[d]);
-        int32_t *cur, *curo;
-        int k = prep_doc_syms(p, n, use_raw_bytes, no_dummy_prefix, cm_counts,
-                              cm_values, cm_width, cm_min, cm_max, buf.data(),
-                              nullptr, nbuf.data(), nullptr, &cur, &curo);
-        if (k < 0) { st->status[d] = 1; continue; }
-        // dense remap + SPM flags (unit boundaries use RAW symbols; dedup
-        // keys use iw sequences — exactly dedup.split_units semantics)
-        for (int i = 0; i < k; ++i) {
-            int32_t cch = cur[i];
-            iw[i] = (cch >= 0 && cch < sym2iw_len) ? sym2iw[cch] : -1;
-            spmf[i] = (cch == SPM) ? 1 : 0;
+    // The per-doc prep+intern scan is CPU-bound and per-doc independent:
+    // shard docs across threads with PRIVATE interns, merge serially into
+    // the shared cache (unique units only — cheap).  Mirrors the WpAnalyze
+    // threading in runtime.cpp.
+    auto scan_range = [&](BtlUnitsState* sh, BtlUnitCache* lc, int d0,
+                          int d1) {
+        int64_t max_doc = 0;
+        for (int d = d0; d < d1; ++d) {
+            int64_t len = doc_off[d + 1] - doc_off[d];
+            if (len > max_doc) max_doc = len;
         }
-        // Document LENGTH is no limit here — per-unit resolution never
-        // materializes the doc as a row (chunk-safe factorization), so a
-        // long doc is just a longer unit stream.  Only a single UNIT wider
-        // than a device row must fall back (status 2): pre-scan.
-        int start = 0;
-        bool giant = false;
-        for (int i = 1; i <= k; ++i) {
-            if (i == k || (spmf[i] && !spmf[i - 1])) {
-                if (i - start > n_sym) { giant = true; break; }
-                start = i;
+        int64_t cap = 10 * max_doc + 16;
+        std::vector<int32_t> buf(cap), nbuf(cap), iw(cap);
+        std::vector<uint8_t> spmf(cap);
+        for (int d = d0; d < d1; ++d) {
+            sh->doc_inst_off[d - d0] = (int64_t)sh->inst_unit.size();
+            const uint8_t* p = docs + doc_off[d];
+            int n = (int)(doc_off[d + 1] - doc_off[d]);
+            int32_t *cur, *curo;
+            int k = prep_doc_syms(p, n, use_raw_bytes, no_dummy_prefix,
+                                  cm_counts, cm_values, cm_width, cm_min,
+                                  cm_max, buf.data(), nullptr, nbuf.data(),
+                                  nullptr, &cur, &curo);
+            if (k < 0) { sh->status[d - d0] = 1; continue; }
+            // dense remap + SPM flags (unit boundaries use RAW symbols;
+            // dedup keys use iw sequences — dedup.split_units semantics)
+            for (int i = 0; i < k; ++i) {
+                int32_t cch = cur[i];
+                iw[i] = (cch >= 0 && cch < sym2iw_len) ? sym2iw[cch] : -1;
+                spmf[i] = (cch == SPM) ? 1 : 0;
             }
-        }
-        if (giant) { st->status[d] = 2; continue; }
-        st->total_syms += k;
-        // units: maximal [SPM-run +] non-SPM-run blocks
-        start = 0;
-        for (int i = 1; i <= k; ++i) {
-            if (i == k || (spmf[i] && !spmf[i - 1])) {
-                bool fresh = false;
-                int32_t u = unit_intern(c, iw.data() + start, i - start,
-                                        &fresh);
-                if (fresh || (c->r_off[u] < 0 && !c->pending[u])) {
-                    st->local_units.push_back(u);
-                    c->pending[u] = 1;
+            // Document LENGTH is no limit here — per-unit resolution never
+            // materializes the doc as a row (chunk-safe factorization); only
+            // a single UNIT wider than a device row falls back (status 2).
+            int start = 0;
+            bool giant = false;
+            for (int i = 1; i <= k; ++i) {
+                if (i == k || (spmf[i] && !spmf[i - 1])) {
+                    if (i - start > n_sym) { giant = true; break; }
+                    start = i;
                 }
-                st->inst_unit.push_back(u);
-                start = i;
+            }
+            if (giant) { sh->status[d - d0] = 2; continue; }
+            sh->total_syms += k;
+            // units: maximal [SPM-run +] non-SPM-run blocks.  Probe the
+            // SHARED cache read-only first (no writers run concurrently):
+            // local interning holds only shared-cache MISSES, so the serial
+            // merge touches new units only.  Instance encoding: shared id g
+            // stored as g, local id lu stored as -(lu + 1).
+            start = 0;
+            for (int i = 1; i <= k; ++i) {
+                if (i == k || (spmf[i] && !spmf[i - 1])) {
+                    int32_t g = unit_lookup(c, iw.data() + start, i - start);
+                    // a shared unit that is neither resolved nor in flight
+                    // must be re-packed: route it through the local path
+                    if (g >= 0 && (c->r_off[g] >= 0 || c->pending[g])) {
+                        sh->inst_unit.push_back(g);
+                    } else {
+                        bool fresh = false;
+                        int32_t lu = unit_intern(lc, iw.data() + start,
+                                                 i - start, &fresh);
+                        sh->inst_unit.push_back(-(lu + 1));
+                    }
+                    start = i;
+                }
             }
         }
+        sh->doc_inst_off[d1 - d0] = (int64_t)sh->inst_unit.size();
+    };
+
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads > 4) n_threads = 4;
+    if (n_threads < 1) n_threads = 1;
+    int64_t total_bytes = doc_off[n_docs] - doc_off[0];
+    if (n_threads > 1 && n_docs >= 64 && total_bytes >= (64 << 10)) {
+        std::vector<BtlUnitsState*> shards(n_threads);
+        std::vector<BtlUnitCache*> lcs(n_threads);
+        std::vector<std::thread> threads;
+        std::vector<int> bounds(n_threads + 1);
+        for (int t = 0; t <= n_threads; ++t)
+            bounds[t] = (int)((int64_t)n_docs * t / n_threads);
+        for (int t = 0; t < n_threads; ++t) {
+            BtlUnitsState* sh = new BtlUnitsState();
+            int nd = bounds[t + 1] - bounds[t];
+            sh->n_docs = nd;
+            sh->n_sym = n_sym;
+            sh->status.assign(nd, 0);
+            sh->doc_inst_off.assign(nd + 1, 0);
+            BtlUnitCache* lc = new BtlUnitCache();
+            units_rehash(lc, 1 << 14);
+            sh->cache = lc;
+            sh->owns_cache = true;
+            shards[t] = sh;
+            lcs[t] = lc;
+            threads.emplace_back([&scan_range, sh, lc, t, &bounds]() {
+                scan_range(sh, lc, bounds[t], bounds[t + 1]);
+            });
+        }
+        for (auto& th : threads) th.join();
+        std::vector<int32_t> remap;
+        for (int t = 0; t < n_threads; ++t) {
+            BtlUnitsState* sh = shards[t];
+            BtlUnitCache* lc = lcs[t];
+            int LU = lc->units();
+            remap.assign(LU, -1);
+            for (int lu = 0; lu < LU; ++lu) {
+                bool fresh = false;
+                int32_t g = unit_intern(
+                    c, lc->u_syms.data() + lc->u_soff[lu],
+                    lc->u_soff[lu + 1] - lc->u_soff[lu], &fresh);
+                if (fresh || (c->r_off[g] < 0 && !c->pending[g])) {
+                    st->local_units.push_back(g);
+                    c->pending[g] = 1;
+                }
+                remap[lu] = g;
+            }
+            int d0 = bounds[t];
+            for (int d = 0; d < sh->n_docs; ++d) {
+                st->doc_inst_off[d0 + d] = (int64_t)st->inst_unit.size();
+                st->status[d0 + d] = sh->status[d];
+                for (int64_t i = sh->doc_inst_off[d];
+                     i < sh->doc_inst_off[d + 1]; ++i) {
+                    int32_t v = sh->inst_unit[i];
+                    // v >= 0: already a shared-cache id; v < 0: local miss
+                    st->inst_unit.push_back(v >= 0 ? v : remap[-(v + 1)]);
+                }
+            }
+            st->total_syms += sh->total_syms;
+            delete sh;
+        }
+    } else {
+        // single-thread path: scan straight into st with the shared cache
+        auto single = [&](int d0, int d1) {
+            // identical to scan_range but interning into the SHARED cache
+            // with local_units/pending bookkeeping
+            int64_t max_doc = 0;
+            for (int d = d0; d < d1; ++d) {
+                int64_t len = doc_off[d + 1] - doc_off[d];
+                if (len > max_doc) max_doc = len;
+            }
+            int64_t cap = 10 * max_doc + 16;
+            std::vector<int32_t> buf(cap), nbuf(cap), iw(cap);
+            std::vector<uint8_t> spmf(cap);
+            for (int d = d0; d < d1; ++d) {
+                st->doc_inst_off[d] = (int64_t)st->inst_unit.size();
+                const uint8_t* p = docs + doc_off[d];
+                int n = (int)(doc_off[d + 1] - doc_off[d]);
+                int32_t *cur, *curo;
+                int k = prep_doc_syms(p, n, use_raw_bytes, no_dummy_prefix,
+                                      cm_counts, cm_values, cm_width, cm_min,
+                                      cm_max, buf.data(), nullptr, nbuf.data(),
+                                      nullptr, &cur, &curo);
+                if (k < 0) { st->status[d] = 1; continue; }
+                for (int i = 0; i < k; ++i) {
+                    int32_t cch = cur[i];
+                    iw[i] = (cch >= 0 && cch < sym2iw_len) ? sym2iw[cch] : -1;
+                    spmf[i] = (cch == SPM) ? 1 : 0;
+                }
+                int start = 0;
+                bool giant = false;
+                for (int i = 1; i <= k; ++i) {
+                    if (i == k || (spmf[i] && !spmf[i - 1])) {
+                        if (i - start > n_sym) { giant = true; break; }
+                        start = i;
+                    }
+                }
+                if (giant) { st->status[d] = 2; continue; }
+                st->total_syms += k;
+                start = 0;
+                for (int i = 1; i <= k; ++i) {
+                    if (i == k || (spmf[i] && !spmf[i - 1])) {
+                        bool fresh = false;
+                        int32_t u = unit_intern(c, iw.data() + start,
+                                                i - start, &fresh);
+                        if (fresh || (c->r_off[u] < 0 && !c->pending[u])) {
+                            st->local_units.push_back(u);
+                            c->pending[u] = 1;
+                        }
+                        st->inst_unit.push_back(u);
+                        start = i;
+                    }
+                }
+            }
+        };
+        single(0, n_docs);
     }
     st->doc_inst_off[n_docs] = (int64_t)st->inst_unit.size();
 

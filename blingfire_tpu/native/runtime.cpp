@@ -1800,6 +1800,22 @@ static void wp_rehash(WpCache* c, int64_t cap) {
     }
 }
 
+// Read-only probe (safe from scan threads: all inserts happen serially).
+static int32_t wp_lookup(const WpCache* c, int fn, const int32_t* s,
+                         int len) {
+    if (c->mask <= 0) return -1;
+    uint64_t h = wp_hash(fn, s, len) & c->mask;
+    while (true) {
+        int64_t u = c->tab[h];
+        if (u < 0) return -1;
+        int ulen = c->u_soff[u + 1] - c->u_soff[u];
+        if (ulen == len && c->u_fn[u] == fn &&
+            memcmp(c->u_syms.data() + c->u_soff[u], s, (size_t)len * 4) == 0)
+            return (int32_t)u;
+        h = (h + 1) & c->mask;
+    }
+}
+
 static int32_t wp_intern(WpCache* c, int fn, const int32_t* s, int len,
                          bool* fresh) {
     if ((int64_t)c->u_soff.size() * 2 + 2 > c->mask)
@@ -1831,8 +1847,13 @@ static int32_t wp_intern(WpCache* c, int fn, const int32_t* s, int len,
 // level-0 scan of one document (lex_process_int semantics at rec_depth=1,
 // once=false), recording WORD instances instead of recursing into functions.
 // Returns false when the document must take the full native path.
+// `shared` (nullable): a cross-batch cache probed READ-ONLY by scan
+// threads; hits on resolved/in-flight words are recorded as global ids,
+// misses intern locally and are encoded as -(lu + 2) (-1 stays "no-fn
+// WORD -> unk") for the serial merge to remap.
 static bool wp_scan_doc(const WbdModel& w, WpBatch* st,
-                        const std::vector<int>& cps, int max_unit) {
+                        const std::vector<int>& cps, int max_unit,
+                        const WpCache* shared = nullptr) {
     int in_size = (int)cps.size();
     const int* seq = cps.data();
     std::vector<int32_t> folded;
@@ -1893,14 +1914,29 @@ static bool wp_scan_doc(const WbdModel& w, WpBatch* st,
                         if (w.ignore_case) iw = fold_lower(iw);
                         folded[q] = iw;
                     }
-                    WpCache* c = st->cache;
-                    bool fresh = false;
-                    int32_t u = wp_intern(c, fn, folded.data(), len, &fresh);
-                    if (fresh || (c->r_off[u] < 0 && !c->pending[u])) {
-                        st->local_units.push_back(u);
-                        c->pending[u] = 1;
+                    if (shared) {
+                        int32_t g = wp_lookup(shared, fn, folded.data(), len);
+                        if (g >= 0 && (shared->r_off[g] >= 0 ||
+                                       shared->pending[g])) {
+                            st->inst_unit.push_back(g);
+                        } else {
+                            bool fresh = false;
+                            int32_t lu = wp_intern(st->cache, fn,
+                                                   folded.data(), len,
+                                                   &fresh);
+                            st->inst_unit.push_back(-(lu + 2));
+                        }
+                    } else {
+                        WpCache* c = st->cache;
+                        bool fresh = false;
+                        int32_t u = wp_intern(c, fn, folded.data(), len,
+                                              &fresh);
+                        if (fresh || (c->r_off[u] < 0 && !c->pending[u])) {
+                            st->local_units.push_back(u);
+                            c->pending[u] = 1;
+                        }
+                        st->inst_unit.push_back(u);
                     }
-                    st->inst_unit.push_back(u);
                     st->total_cps += len;
                 } else {
                     st->inst_unit.push_back(-1);  // WORD with no fn -> unk
@@ -1942,7 +1978,7 @@ void BtlWpCacheStats(void* h, int64_t* out) {
 // calling thread; doc/instance offsets are st-relative starting at d0).
 static void wp_scan_range(const WbdModel& w, WpBatch* st, const char* docs,
                           const int64_t* doc_off, int d0, int d1,
-                          int max_unit) {
+                          int max_unit, const WpCache* shared = nullptr) {
     std::vector<int> cps, offs;
     for (int d = d0; d < d1; ++d) {
         st->doc_inst_off[d - d0] = (int64_t)st->inst_unit.size();
@@ -1965,7 +2001,7 @@ static void wp_scan_range(const WbdModel& w, WpBatch* st, const char* docs,
             cps.swap(norm);
         }
         size_t mark = st->inst_unit.size();
-        if (!wp_scan_doc(w, st, cps, max_unit)) {
+        if (!wp_scan_doc(w, st, cps, max_unit, shared)) {
             st->inst_unit.resize(mark);  // discard partial instances
             st->status[d - d0] = 2;
         }
@@ -2016,10 +2052,11 @@ void* BtlWpAnalyzeC(void* cache_h, void* model, const char* docs,
             sh->owns_cache = true;
             wp_rehash(sh->cache, 1 << 14);
             shards[t] = sh;
+            const WpCache* shc = st->cache;
             threads.emplace_back([&w, sh, docs, doc_off, t, &bounds,
-                                  max_unit]() {
+                                  max_unit, shc]() {
                 wp_scan_range(w, sh, docs, doc_off, bounds[t], bounds[t + 1],
-                              max_unit);
+                              max_unit, shc);
             });
         }
         for (auto& th : threads) th.join();
@@ -2049,8 +2086,9 @@ void* BtlWpAnalyzeC(void* cache_h, void* model, const char* docs,
                 st->status[d0 + d] = sh->status[d];
                 for (int64_t i = sh->doc_inst_off[d];
                      i < sh->doc_inst_off[d + 1]; ++i) {
-                    int32_t lu = sh->inst_unit[i];
-                    st->inst_unit.push_back(lu < 0 ? -1 : remap[lu]);
+                    int32_t v = sh->inst_unit[i];
+                    st->inst_unit.push_back(
+                        v >= 0 ? v : (v == -1 ? -1 : remap[-(v + 2)]));
                 }
             }
             st->total_cps += sh->total_cps;

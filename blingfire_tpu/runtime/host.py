@@ -576,7 +576,6 @@ class SpTokenizer:
             with metrics.stage("dispatch", c):
                 state = runner.dispatch_docs(chunk, unk_id, cache=ucache)
                 c.dispatched_rows += state[0].n_rows
-            c.bytes_in += sum(len(d) for d in chunk)
             c.docs_in += len(chunk)
             c.batches += 1
             inflight.append((chunk, state))
@@ -584,6 +583,7 @@ class SpTokenizer:
                 collect(inflight.pop(0))
         while inflight:
             collect(inflight.pop(0))
+        c.bytes_in += sum(map(len, docs_b))
         c.cache_units = ucache.stats()["units"]
 
         if len(parts) == 1:
@@ -832,19 +832,20 @@ def _batches_by_bytes(
     Per-batch fixed costs (dispatch trace, tunnel d2h latency, analyze call)
     are ~75 ms; corpora of tiny documents (dictionary lines, log records)
     batched by document count alone produce sub-MB batches whose fixed costs
-    dominate the whole pipeline."""
+    dominate the whole pipeline.  Vectorized: the r4 per-doc Python loop
+    cost ~1 s alone on a 2M-doc corpus."""
+    n = len(docs_b)
+    if n == 0:
+        return []
+    cs = np.zeros(n + 1, np.int64)
+    np.cumsum(np.fromiter((len(d) for d in docs_b), np.int64, n), out=cs[1:])
     out: list[list[bytes]] = []
-    cur: list[bytes] = []
-    nb = 0
-    for d in docs_b:
-        cur.append(d)
-        nb += len(d)
-        if nb >= target_bytes or len(cur) >= max_docs:
-            out.append(cur)
-            cur = []
-            nb = 0
-    if cur:
-        out.append(cur)
+    i = 0
+    while i < n:
+        j = int(np.searchsorted(cs, cs[i] + target_bytes, side="left"))
+        j = min(max(j, i + 1), i + max_docs, n)
+        out.append(docs_b[i:j])
+        i = j
     return out
 
 

@@ -429,7 +429,6 @@ class WordPieceHybrid:
         for chunk in _batches_by_bytes(docs_b, batch_docs):
             with metrics.stage("dispatch", c):
                 state = self.dispatch(chunk, cache=ucache)
-            c.bytes_in += sum(len(d) for d in chunk)
             c.docs_in += len(chunk)
             c.batches += 1
             inflight.append((chunk, state))
@@ -437,6 +436,7 @@ class WordPieceHybrid:
                 do_collect(inflight.pop(0))
         while inflight:
             do_collect(inflight.pop(0))
+        c.bytes_in += sum(map(len, docs_b))
         c.cache_units = ucache.stats()["units"]
 
         if len(parts) == 1:
