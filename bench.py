@@ -72,7 +72,10 @@ def corpora():
     from benchmarks.realtext import real_lines
     from benchmarks.textgen import corpus_lines
 
-    syn = corpus_lines(int(os.environ.get("BENCH_E2E_DOCS", "65536")), seed=3)
+    # 262144 docs ~= 20 MB: the single-chip sweep (SCALING_r05) saturates
+    # near 128k docs, and the real corpus is 33.5 MB — both corpora now
+    # measure steady state rather than fixed-cost-dominated small runs
+    syn = corpus_lines(int(os.environ.get("BENCH_E2E_DOCS", "262144")), seed=3)
     real = real_lines()
     return syn, real
 
@@ -116,7 +119,8 @@ def measure_reference():
 
     for cfg, fname in (("gpt2", "gpt2.bin"), ("xlnet", "xlnet.bin"),
                        ("bert", "bert_base_cased_tok.bin"),
-                       ("roberta", "roberta.bin")):
+                       ("roberta", "roberta.bin"),
+                       ("laser100k", "laser100k.bin")):
         path = os.path.join(REF_DIST, fname)
         if not os.path.exists(path):
             path = os.path.join(LDB, fname)
@@ -431,6 +435,7 @@ STEPS = {
     "gpt2_e2e": lambda: measure_sp_e2e("gpt2"),
     "xlnet_e2e": lambda: measure_sp_e2e("xlnet"),
     "roberta_e2e": measure_roberta,
+    "laser100k_e2e": lambda: measure_sp_e2e("laser100k"),
     "bert": measure_wordpiece,
     "syllab": measure_hyph,
     "lexer_device": measure_lexer_device,
@@ -442,6 +447,7 @@ STEP_TIMEOUT = {
     "gpt2_e2e": 420.0,
     "xlnet_e2e": 420.0,
     "roberta_e2e": 420.0,
+    "laser100k_e2e": 420.0,
     "bert": 420.0,
     "syllab": 240.0,
     "lexer_device": 420.0,
@@ -461,8 +467,8 @@ def child_main(step: str) -> None:
 def parent_main() -> None:
     order = os.environ.get(
         "BENCH_STEPS",
-        "reference,native,gpt2_e2e,xlnet_e2e,bert,roberta_e2e,syllab,"
-        "lexer_device",
+        "reference,native,gpt2_e2e,xlnet_e2e,bert,roberta_e2e,laser100k_e2e,"
+        "syllab,lexer_device",
     ).split(",")
     for step in order:
         step = step.strip()
@@ -500,7 +506,8 @@ def parent_main() -> None:
         log(f"{step}: done in {time.time() - t0:.0f}s")
 
     # vs_ref for every e2e pair measured on this box
-    for cfg in ("gpt2", "xlnet", "bert", "roberta", "wbd", "sbd", "syllab"):
+    for cfg in ("gpt2", "xlnet", "bert", "roberta", "laser100k", "wbd",
+                "sbd", "syllab"):
         e2e = RESULT.get(f"{cfg}_e2e_bytes_per_s")
         ref = RESULT.get(f"{cfg}_ref_bytes_per_s")
         if e2e and ref:
