@@ -57,15 +57,17 @@ def main(name: str = "gpt2") -> None:
             t_dispatch += time.perf_counter() - t0
             states.append((chunk, state))
         for chunk, state in states:
-            nu, pending = state
+            nu, pending, row_map = state
             t0 = time.perf_counter()
-            rows_parts = [np.asarray(h)[:n] for n, h in pending if n]
+            rows_parts = [np.asarray(h) for h in pending]
             t_wait += time.perf_counter() - t0
             t0 = time.perf_counter()
             rows = (rows_parts[0] if len(rows_parts) == 1
                     else np.concatenate(rows_parts, axis=0))
             from blingfire_tpu.runtime.dedup import ID_SHIFT
-            ids, bounds, need = nu.stitch(np.ascontiguousarray(rows), ID_SHIFT)
+            ids, bounds, need = nu.stitch(
+                np.ascontiguousarray(rows), ID_SHIFT, row_map=row_map
+            )
             t_stitch += time.perf_counter() - t0
             t0 = time.perf_counter()
             if need.any():

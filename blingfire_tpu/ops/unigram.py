@@ -61,16 +61,27 @@ class UnigramDeviceTables:
     ids_tab: jax.Array  # int32[nkeys]
     scores_tab: jax.Array  # float32[nkeys]
     dense: jax.Array | None  # int32[n_states * A] packed, or None
+    # "wide" slot packing for models whose (states x alphabet) exceeds the
+    # dense limits (laser/uri families: A ~ 3.5-7k, ow up to 100k): TWO
+    # int32 gathers at the SAME slot index replace the owner/nxt/ow/final
+    # quartet — walk cost drops from 6 gathers/step to 4.
+    #   wide_a[slot] = owner(17) | final<<17 | ow_low14<<18
+    #   wide_b[slot] = (nxt+1)(17) | ow_high<<17
+    wide_a: jax.Array | None
+    wide_b: jax.Array | None
     n_slots: int = field(metadata=dict(static=True))
     max_len: int = field(metadata=dict(static=True))
     id_offset: int = field(metadata=dict(static=True))
     n_iws: int = field(metadata=dict(static=True), default=0)
 
 
+_WIDE_OWNER_SENTINEL = (1 << 17) - 1  # empty-slot owner: matches no state
+
+
 def make_device_tables(
     table: CombTable, ids: np.ndarray, scores: np.ndarray, max_len: int, id_offset: int
 ) -> UnigramDeviceTables:
-    dense = None
+    dense = wide_a = wide_b = None
     n_states = int(table.base.shape[0])
     A = int(table.n_iws)
     ow_np = np.asarray(table.ow)
@@ -95,6 +106,24 @@ def make_device_tables(
         )
         d[owner * A + iw] = np.where(nxt >= 0, val, 0)
         dense = jnp.asarray(d)
+    elif n_states < _WIDE_OWNER_SENTINEL and ow_max < (1 << 17):
+        n_slots = int(np.asarray(table.owner).shape[0])
+        a = np.full(n_slots, _WIDE_OWNER_SENTINEL, np.int32)
+        b = np.zeros(n_slots, np.int32)
+        occ = np.flatnonzero(np.asarray(table.owner) >= 0)
+        owner = np.asarray(table.owner)[occ]
+        nxt = np.asarray(table.nxt)[occ]
+        fin = np.where(nxt >= 0, np.asarray(table.final)[np.maximum(nxt, 0)], False)
+        ow = ow_np[occ].astype(np.int32)
+        live = nxt >= 0
+        a[occ[live]] = (
+            owner[live]
+            | (fin[live].astype(np.int32) << 17)
+            | ((ow[live] & 0x3FFF) << 18)
+        )
+        b[occ[live]] = (nxt[live] + 1) | ((ow[live] >> 14) << 17)
+        wide_a = jnp.asarray(a)
+        wide_b = jnp.asarray(b)
     return UnigramDeviceTables(
         base=jnp.asarray(table.base, jnp.int32),
         owner=jnp.asarray(table.owner, jnp.int32),
@@ -104,6 +133,8 @@ def make_device_tables(
         ids_tab=jnp.asarray(ids, jnp.int32),
         scores_tab=jnp.asarray(scores, jnp.float32),
         dense=dense,
+        wide_a=wide_a,
+        wide_b=wide_b,
         n_slots=table.n_slots,
         max_len=max_len,
         id_offset=id_offset,
@@ -111,16 +142,19 @@ def make_device_tables(
     )
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("lw",))
 def unigram_segment(
     tables: UnigramDeviceTables,
     x_iw: jax.Array,  # int32 (B, N) dense input weights, -1 = no transition
     lengths: jax.Array,  # int32 (B,)
     unk_id: jax.Array,  # int32 scalar
+    lw: int | None = None,  # static depth cap: EXACT when no arc can exceed
+    # lw symbols (unit-length-classed packed rows, runtime/dedup.py) — both
+    # the walk and the DP ring shrink to lw
 ):
     """Returns (ids, starts, ends, counts) padded to N tokens per doc."""
     B, N = x_iw.shape
-    L = tables.max_len
+    L = tables.max_len if lw is None else min(lw, tables.max_len)
     pos = jnp.arange(N, dtype=jnp.int32)
     valid = pos[None, :] < lengths[:, None]
     nkeys = tables.ids_tab.shape[0]
@@ -134,6 +168,7 @@ def unigram_segment(
     keys_d = []  # Mealy key (vocab entry index) per depth, -1 = no match
     scores_d = []
     use_dense = tables.dense is not None
+    use_wide = tables.wide_a is not None
     A = tables.n_iws
     for d in range(L):
         c = x_pad[:, d : d + N]
@@ -147,6 +182,18 @@ def unigram_segment(
             ns = ((e >> 1) & 0x7FFF) - 1
             sum_ow = sum_ow + jnp.where(e != 0, e >> 16, 0)
             fin = (e & 1) == 1
+        elif use_wide:
+            s_safe = jnp.maximum(state, 0)
+            slot = jnp.clip(
+                tables.base[s_safe] + jnp.maximum(c, 0), 0, tables.n_slots - 1
+            )
+            ea = tables.wide_a[slot]
+            eb = tables.wide_b[slot]
+            hit = ((ea & 0x1FFFF) == state) & (state >= 0) & (c >= 0)
+            ns = jnp.where(hit, (eb & 0x1FFFF) - 1, -1)
+            ow = ((ea >> 18) & 0x3FFF) | ((eb >> 17) << 14)
+            sum_ow = sum_ow + jnp.where(hit, ow, 0)
+            fin = hit & (((ea >> 17) & 1) == 1)
         else:
             s_safe = jnp.maximum(state, 0)
             slot = jnp.clip(

@@ -286,8 +286,11 @@ class UnitRunner:
         else:
             from ..ops import unigram as uni_ops
 
+            # bounded unit rows cap the walk AND the DP ring at the unit
+            # length class — exact for the same chunk-safety reason as BPE
             ids, st, _en, counts = uni_ops.unigram_segment(
-                tok.tables, xd, ld, jnp.int32(unk_id)
+                tok.tables, xd, ld, jnp.int32(unk_id),
+                lw=lw if bounded else None,
             )
             fb = jnp.zeros(xd.shape[0], bool)
         return ids, st, counts, fb

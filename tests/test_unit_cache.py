@@ -100,3 +100,23 @@ def test_cache_long_docs_unit_path():
         want = ref.text_to_ids(h, d, max_len=65536, unk_id=0).tolist()
         assert ids[bounds[i] : bounds[i + 1]].tolist() == want, i
     assert c.fallback_docs == 1  # only the giant-unit doc
+
+
+@pytest.mark.parametrize("n_docs", [63, 64, 65, 130])
+def test_threaded_analyze_status_edges(n_docs):
+    """Doc counts straddling the threading threshold (64), with invalid
+    UTF-8 and giant-unit docs mixed in: statuses and ids must be identical
+    to the reference regardless of the thread split."""
+    tok = SpTokenizer(load_model(f"{LDB}/xlnet.bin"), max_doc_symbols=128)
+    if not tok._native_units_ok():
+        pytest.skip("unit path unavailable")
+    h = ref.load_model("xlnet.bin")
+    base = [b"hello world", "naïve café".encode(), b"a b c d e",
+            b"\xff\xfe bad", b"y" * 400, b"short", b"the end."]
+    docs = [base[i % len(base)] + b" %d" % i for i in range(n_docs)]
+    docs[n_docs // 2] = b"\x80broken"      # invalid mid-corpus
+    docs[n_docs - 1] = b"z" * 600           # giant unit at a boundary
+    ids, bounds = tok.encode_corpus_flat(docs, batch_docs=32)
+    for i, d in enumerate(docs):
+        want = ref.text_to_ids(h, d, max_len=65536, unk_id=0).tolist()
+        assert ids[bounds[i] : bounds[i + 1]].tolist() == want, (n_docs, i)
