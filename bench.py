@@ -288,7 +288,7 @@ def _measure_sp_device(name, tok, docs, iters: int = 4):
     for nu in nus:
         parts = [(0, nu.split_rows1, dedup.LW_CLASSES[0], True),
                  (nu.split_rows1, nu.split_rows, dedup.LW_CLASSES[1], True),
-                 (nu.split_rows, nu.n_rows, None, False)]
+                 (nu.split_rows, nu.n_rows, dedup.LW_CLASSES[1], False)]
         for plo, phi, lw, bounded in parts:
             lo = plo
             if phi <= plo:

@@ -309,7 +309,7 @@ class UnitRunner:
         _ds, _po, pack_out_compact = _helpers()
         N = self.tok.n_doc
         variants = [(b, lw, True) for lw in LW_CLASSES for b in buckets]
-        variants += [(b, None, False) for b in buckets]
+        variants += [(b, LW_CLASSES[1], False) for b in buckets]
 
         def one(v):
             b, lw, bounded = v
@@ -348,11 +348,15 @@ class UnitRunner:
         )
         # length-class regions hold only SPM-initial units no longer than
         # their class depth: the short unrolled walks are exact there
-        # (bounded by the unit length); region B rows get the full depth
+        # (bounded by the unit length).  Region B (non-SPM-initial + long
+        # units, ~5% of rows) walks the SAME depth-16 class UNBOUNDED: a
+        # live state at the cap flags the row for fallback (exact), and the
+        # region shares the LR-16 resolve executable instead of loading the
+        # large LR-32 program — the single biggest warm cost (round 5).
         parts = [
             (0, nu.split_rows1, LW_CLASSES[0], True),
             (nu.split_rows1, nu.split_rows, LW_CLASSES[1], True),
-            (nu.split_rows, nu.n_rows, None, False),
+            (nu.split_rows, nu.n_rows, LW_CLASSES[1], False),
         ]
         outs = []  # full (PACK_ROWS, N+2) chunk outputs, packed-row order
         row_map_parts = []  # packed row -> row index in the grouped transfer
