@@ -234,11 +234,23 @@ def measure_sp_e2e(name: str) -> None:
         log(f"{name}: device-dedup path unavailable")
         return
     record(f"{name}_path", "device-dedup")
+    runner = tok._unit_runner()
     t0 = time.perf_counter()
-    tok._unit_runner().warm()
+    runner.warm()
     warm_s = time.perf_counter() - t0
     record(f"{name}_warm_s", round(warm_s, 1))
-    log(f"{name}: warm (persistent-cache compile) {warm_s:.1f}s")
+    log(f"{name}: warm (usable, 512-row programs) {warm_s:.1f}s")
+    # progressive warmup: the 2048-row programs load in the background; the
+    # e2e trials below measure STEADY STATE, so join the loader first and
+    # record the ramp separately (corpora processed during the ramp run on
+    # the 512-row programs at a lower rate — by design)
+    t0 = time.perf_counter()
+    bt = getattr(runner, "_big_thread", None)
+    if bt is not None:
+        bt.join(timeout=180)
+    record(f"{name}_ramp_s", round(time.perf_counter() - t0, 1))
+    log(f"{name}: big-bucket ramp {RESULT[f'{name}_ramp_s']}s "
+        f"(ready={runner.big_ready})")
 
     syn, real = corpora()
     for label, docs in (("", syn), ("real_", real)):
@@ -284,6 +296,13 @@ def _measure_sp_device(name, tok, docs, iters: int = 4):
             tok.seg.use_raw_bytes, tok.seg.no_dummy_prefix, tok.seg.charmap,
         ))
     record(f"{name}_dedup_rows", int(sum(nu.n_rows for nu in nus)))
+    # measure at peak: make sure the background-loaded 2048-row programs
+    # are live, then chunk big-first exactly like production dispatch
+    t = getattr(runner, "_big_thread", None)
+    if t is not None:
+        t.join(timeout=120)
+    if not runner.big_ready:
+        runner.warm_all()
     chunks = []
     for nu in nus:
         parts = [(0, nu.split_rows1, dedup.LW_CLASSES[0], True),
@@ -293,13 +312,15 @@ def _measure_sp_device(name, tok, docs, iters: int = 4):
             lo = plo
             if phi <= plo:
                 continue
-            for b in dedup._row_chunks(phi - plo):
-                n = min(b, max(phi - lo, 0))
+            while lo < phi:
+                left = phi - lo
+                b = (dedup.BIG_BUCKET if left >= dedup.BIG_BUCKET
+                     else dedup._row_chunks(left)[0])
+                n = min(b, left)
                 bx = np.full((b, tok.n_doc), -1, np.int32)
                 bl = np.zeros(b, np.int32)
-                if n:
-                    bx[:n] = nu.px[lo : lo + n]
-                    bl[:n] = nu.plen[lo : lo + n]
+                bx[:n] = nu.px[lo : lo + n]
+                bl[:n] = nu.plen[lo : lo + n]
                 chunks.append((jnp.asarray(bx), jnp.asarray(bl), lw, bounded))
                 lo += n
     best = 0.0

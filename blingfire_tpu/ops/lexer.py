@@ -293,7 +293,17 @@ def wp_subword_pass_dense(
 
 
 def _wp_emit(tables, x, fin_pos, fin_ow, is_l, valid_start, pos):
-    """Shared SCAN+EMIT tail of the wp sub-token passes."""
+    """Shared SCAN+EMIT tail of the wp sub-token passes.
+
+    The sequential visited-scan stays a lax.scan: the closed-form cummax
+    trick from ops/bpe's filter is NOT safe here — interior continuation
+    pieces ("##...") routinely extend past the covering match, which is
+    exactly the over-coverage case the bpe closed form flags as an anomaly
+    (it would storm WordPiece rows into fallback).  Compaction uses the
+    bitonic network instead of jax.lax.sort (the bpe kernels measured
+    lax.sort as their single most expensive stage on this backend)."""
+    from .bpe import _bitonic_sort
+
     B, M = x.shape
     right = tables.act_right[jnp.maximum(fin_ow, 0)]
     tag = jnp.where(fin_ow >= 0, tables.act_tag[jnp.maximum(fin_ow, 0)], 0)
@@ -326,7 +336,13 @@ def _wp_emit(tables, x, fin_pos, fin_ow, is_l, valid_start, pos):
         | ((fn >= 0).astype(jnp.int32) << 31)
     )
     key = jnp.where(emit, pos[None, :], INT32_MAX)
-    skey, svals = jax.lax.sort([key, lane], dimension=1, num_keys=1)
+    P2 = 1 << max(1, (M - 1).bit_length())
+    if P2 != M:
+        padw = ((0, 0), (0, P2 - M))
+        key = jnp.pad(key, padw, constant_values=INT32_MAX)
+        lane = jnp.pad(lane, padw)
+    skey, svals = _bitonic_sort((key,), (lane,))
+    skey, svals = skey[:, :M], svals[:, :M]
     svals = jnp.where(skey != INT32_MAX, svals, 0)
     counts = jnp.sum(emit, axis=1).astype(jnp.int32)
     return jnp.concatenate(

@@ -46,16 +46,20 @@ from ..ops import bpe as bpe_ops
 UNIT_MAX = 64  # longest unit the NUMPY dedup path handles (p99.9 of real text)
 PACK_ROWS = 512  # rows per dispatch (fixed shape -> one compile per kernel)
 
-# Native fast path: packed rows are dispatched in fixed 512-row chunks.
-# ONE bucket size deliberately (round 5): every distinct (rows, lw) shape
-# is a separate compiled executable, and loading an executable onto the
-# tunneled device costs ~3-5 s REGARDLESS of a warm persistent compile
-# cache — twelve shapes made every process pay ~60 s of warmup.  Three
-# shapes (one per walk-depth class) cut that to ~10 s, while 512-row
-# dispatch granularity measures within ~10% of the old 2048-row buckets
-# (dispatch cost scales with rows; fixed per-call overhead is ~2 ms).
+# Native fast path: packed rows are dispatched in fixed-size chunks.
+# PROGRESSIVE buckets (round 5): every distinct (rows, lw) shape is a
+# separate compiled executable, and loading one onto the tunneled device
+# costs ~3-5 s REGARDLESS of a warm persistent compile cache — twelve
+# eagerly-loaded shapes made every process pay ~60 s of warmup.  warm()
+# loads the three 512-row programs eagerly (~8 s, usable immediately) and
+# the three 2048-row programs from a BACKGROUND thread; once those are
+# live, large regions dispatch at 2048 rows, which amortizes the ~0.8 ms
+# fixed cost of every gather op 4x (the dominant device cost at 512x128
+# operands — the per-element 8.3 ns is secondary at this size).
 ROW_BUCKETS = (512,)
-GROUP_CHUNKS = 4  # chunks device-concatenated per d2h transfer (fixed shape)
+BIG_BUCKET = 2048
+GROUP_CHUNKS = 4  # 512-chunks device-concatenated per d2h transfer; a
+# 2048-chunk is its own transfer (same (2048, N+2) shape either way)
 ID_SHIFT = 21  # compact lane layout: (id + 1) | (start << ID_SHIFT)
 LW_CLASSES = (8, 16)  # packed-row region walk depths (= prep.cpp BTL_LW1/BTL_LW2)
 SHORT_LW = 16  # backwards-compat alias for the widest short class
@@ -261,6 +265,7 @@ class UnitRunner:
         from ..formats.consts import SP_DELIMITER
 
         self.tok = tok  # SpTokenizer
+        self.big_ready = False  # 2048-row programs live (progressive warm)
         m = tok._sym2iw
         self.spm_iw = int(m[SP_DELIMITER]) if SP_DELIMITER < len(m) else -2
         # compact-lane packing requires every emitted id + 1 to fit below
@@ -295,14 +300,17 @@ class UnitRunner:
             fb = jnp.zeros(xd.shape[0], bool)
         return ids, st, counts, fb
 
-    def warm(self, buckets=ROW_BUCKETS, unk_id: int = 0):
-        """Compile (or load from the persistent cache) every bucket shape the
-        fast path can dispatch, so no compile lands inside a timed region.
-
-        Variants are warmed from a thread pool: per-variant cost is
-        dominated by persistent-cache executable loads through the tunneled
-        backend (~2-3 s each, GIL-released), which parallelize well."""
+    def warm(self, buckets=ROW_BUCKETS, unk_id: int = 0,
+             background_big: bool = True):
+        """Compile (or load from the persistent cache) every 512-row shape
+        the fast path can dispatch, so no compile lands inside a timed
+        region; then load the 2048-row programs from a BACKGROUND thread —
+        dispatch_docs switches large regions to the big bucket the moment
+        they are live (progressive warmup: a process is productive after
+        the small set, ~8 s, and reaches peak throughput ~15 s later
+        without ever blocking on the large executables)."""
         import concurrent.futures
+        import threading
 
         import jax.numpy as jnp
 
@@ -325,6 +333,41 @@ class UnitRunner:
         one(variants[0])
         with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
             list(ex.map(one, variants[1:]))
+
+        if background_big and not self.big_ready:
+            big = [(BIG_BUCKET, lw, True) for lw in LW_CLASSES]
+            big += [(BIG_BUCKET, LW_CLASSES[1], False)]
+
+            def load_big():
+                try:
+                    for v in big:
+                        one(v)
+                    self.big_ready = True
+                except Exception:
+                    pass  # big bucket stays off; 512 path is complete
+
+            t = threading.Thread(target=load_big, daemon=True)
+            t.start()
+            self._big_thread = t
+
+    def warm_all(self, unk_id: int = 0):
+        """Blocking warm of BOTH bucket sets (benchmarks; production uses
+        the progressive warm())."""
+        self.warm(unk_id=unk_id, background_big=False)
+        import jax.numpy as jnp
+
+        _ds, _po, pack_out_compact = _helpers()
+        N = self.tok.n_doc
+        for v in ([(BIG_BUCKET, lw, True) for lw in LW_CLASSES]
+                  + [(BIG_BUCKET, LW_CLASSES[1], False)]):
+            b, lw, bounded = v
+            bx = np.full((b, N), -1, np.int32)
+            bl = np.zeros(b, np.int32)
+            ids, st, counts, fb = self._kernel(
+                jnp.asarray(bx), jnp.asarray(bl), unk_id, lw=lw, bounded=bounded
+            )
+            np.asarray(pack_out_compact(ids, st, counts, fb))
+        self.big_ready = True
 
     # ---------------------------------------------------------------- native
     # Production path: prep + unit split + dedup + packing in one C++ call
@@ -358,39 +401,59 @@ class UnitRunner:
             (nu.split_rows1, nu.split_rows, LW_CLASSES[1], True),
             (nu.split_rows, nu.n_rows, LW_CLASSES[1], False),
         ]
-        outs = []  # full (PACK_ROWS, N+2) chunk outputs, packed-row order
-        row_map_parts = []  # packed row -> row index in the grouped transfer
-        n_chunks = 0
+        # chunk descriptors in packed-row order: (out_handle, n_valid, rows)
+        chunks: list[tuple] = []
+        use_big = self.big_ready
         for plo, phi, lw, bounded in parts:
             if phi <= plo:
                 continue
             lo = plo
-            for b in _row_chunks(phi - plo):
-                n = min(b, max(phi - lo, 0))
+            while lo < phi:
+                left = phi - lo
+                if use_big and left >= BIG_BUCKET:
+                    b = BIG_BUCKET
+                else:
+                    b = _row_chunks(left)[0]
+                n = min(b, left)
                 bx = np.full((b, N), -1, np.int32)
                 blen = np.zeros(b, np.int32)
-                if n:
-                    bx[:n] = nu.px[lo : lo + n]
-                    blen[:n] = nu.plen[lo : lo + n]
+                bx[:n] = nu.px[lo : lo + n]
+                blen[:n] = nu.plen[lo : lo + n]
                 ids, st, counts, fb = self._kernel(
                     jnp.asarray(bx), jnp.asarray(blen), unk_id,
                     lw=lw, bounded=bounded,
                 )
-                outs.append(pack_out_compact(ids, st, counts, fb))
-                row_map_parts.append(n_chunks * b + np.arange(n, dtype=np.int32))
-                n_chunks += 1
+                chunks.append((pack_out_compact(ids, st, counts, fb), n, b))
                 lo += n
-        # Few d2h transfers per batch: chunks are device-concatenated in
-        # FIXED-SHAPE groups (GROUP_CHUNKS x PACK_ROWS rows — a varying
-        # group shape would compile a fresh concat program per batch) and
-        # each group's transfer starts immediately.  The stitch maps packed
-        # rows to their transfer rows via row_map (padding rows skipped).
+        # Few d2h transfers per batch: 512-row chunk outputs are
+        # device-concatenated in FIXED-SHAPE groups of GROUP_CHUNKS (a
+        # varying group shape would compile a fresh concat per batch);
+        # a 2048-row chunk is its own same-shape transfer.  The stitch maps
+        # packed rows to transfer rows via row_map (padding rows skipped).
         pending = []
-        for g in range(0, len(outs), GROUP_CHUNKS):
-            grp = outs[g : g + GROUP_CHUNKS]
-            while len(grp) < GROUP_CHUNKS:
-                grp.append(outs[0])  # pad group with a same-shape dummy
-            h = jnp.concatenate(grp, axis=0)
+        row_map_parts = []
+        dev = 0  # rows already assigned in the concatenated transfer order
+        i = 0
+        while i < len(chunks):
+            h, n, b = chunks[i]
+            if b == BIG_BUCKET:
+                row_map_parts.append(dev + np.arange(n, dtype=np.int32))
+                dev += b
+                i += 1
+            else:
+                grp = []
+                while (i < len(chunks) and chunks[i][2] != BIG_BUCKET
+                       and len(grp) < GROUP_CHUNKS):
+                    hh, nn, bb = chunks[i]
+                    grp.append(hh)
+                    row_map_parts.append(dev + np.arange(nn, dtype=np.int32))
+                    dev += bb
+                    i += 1
+                pad = GROUP_CHUNKS - len(grp)
+                dev += pad * PACK_ROWS
+                while len(grp) < GROUP_CHUNKS:
+                    grp.append(grp[0])  # same-shape dummy
+                h = jnp.concatenate(grp, axis=0)
             try:
                 h.copy_to_host_async()
             except Exception:

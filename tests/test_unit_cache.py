@@ -120,3 +120,33 @@ def test_threaded_analyze_status_edges(n_docs):
     for i, d in enumerate(docs):
         want = ref.text_to_ids(h, d, max_len=65536, unk_id=0).tolist()
         assert ids[bounds[i] : bounds[i + 1]].tolist() == want, (n_docs, i)
+
+
+def test_big_bucket_mixed_chunks():
+    """Force the 2048-row bucket live and drive >2048 unique units through
+    one batch: mixed big/small chunks must map rows correctly through the
+    grouped transfers (round-5 progressive-bucket dispatch)."""
+    tok = SpTokenizer(load_model(f"{LDB}/gpt2.bin"), max_doc_symbols=128)
+    if not tok._native_units_ok():
+        pytest.skip("unit path unavailable")
+    runner = tok._unit_runner()
+    runner.big_ready = True  # big programs compile on this CPU run
+    h = ref.load_model("gpt2.bin")
+    # 5000 distinct ~50-symbol words pack ~2 units/row -> >2048 rows, so
+    # the batch dispatches a 2048-row chunk AND 512-row tail chunks
+    docs = [b"w%050d xy%d" % (i, i) for i in range(5000)]
+    from blingfire_tpu import native
+
+    nu = native.units_analyze(
+        docs, tok.n_doc, tok._sym2iw, runner.spm_iw,
+        tok.seg.use_raw_bytes, tok.seg.no_dummy_prefix, tok.seg.charmap,
+    )
+    assert nu.n_rows > 2048, nu.n_rows  # the premise of this test
+    ids, bounds = tok.encode_corpus_flat(docs, batch_docs=8192)
+    for i in (0, 1, 1500, 2047, 2048, 4999):
+        want = ref.text_to_ids(h, docs[i], max_len=65536, unk_id=0).tolist()
+        assert ids[bounds[i] : bounds[i + 1]].tolist() == want, i
+    # and a doc-by-doc sweep on a stride
+    for i in range(0, 5000, 97):
+        want = ref.text_to_ids(h, docs[i], max_len=65536, unk_id=0).tolist()
+        assert ids[bounds[i] : bounds[i + 1]].tolist() == want, i
