@@ -353,6 +353,13 @@ def measure_wordpiece():
     wp.warm()
     record("bert_warm_s", round(time.perf_counter() - t0, 1))
     log(f"bert: warm {RESULT['bert_warm_s']}s")
+    t0 = time.perf_counter()
+    bt = getattr(wp, "_big_thread", None)
+    if bt is not None:
+        bt.join(timeout=180)
+    record("bert_ramp_s", round(time.perf_counter() - t0, 1))
+    log(f"bert: big-bucket ramp {RESULT['bert_ramp_s']}s "
+        f"(ready={wp.big_ready})")
     syn, real = corpora()
     for label, docs in (("", syn), ("real_", real)):
         nbytes = sum(len(d) for d in docs)

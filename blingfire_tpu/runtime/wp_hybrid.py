@@ -35,7 +35,9 @@ LW_CLASSES = (16, MAX_UNIT)  # unit-length classes -> walk depth lw = len + 2
 ROW_W = 128
 
 from .dedup import (  # shared bucket decomposition + d2h grouping
+    BIG_BUCKET,
     GROUP_CHUNKS,
+    PACK_ROWS,
     ROW_BUCKETS,
     _row_chunks,
 )
@@ -129,6 +131,7 @@ class WordPieceHybrid:
                 h = self._rt.SetModel(self._img_buf, len(img))
             self._nh = h if h else None
         self._safe = self._nh is not None and self._fn_pack_safe()
+        self.big_ready = False  # 2048-row programs live (progressive warm)
         # dense finals-first sub-grammar (1 gather/step; ops/lexer.py)
         self._dense = None
         if self._safe:
@@ -305,34 +308,53 @@ class WordPieceHybrid:
         pinit = (np.concatenate(blocks_i) if blocks_i
                  else np.zeros((0, ROW_W), np.int32))
 
-        # fixed 512-row dispatches; outputs grouped into fixed-shape device
-        # concats, one d2h per group (see runtime/dedup.py::dispatch_docs).
-        # rowmap[packed row] = row index within the concatenated transfer.
-        outs = []
-        rowmap = np.zeros(max(R, 1), np.int32)
-        n_chunks = 0
+        # progressive-bucket dispatches (see runtime/dedup.py): 512-row
+        # chunks immediately, 2048-row chunks for large regions once the
+        # background-loaded big programs are live; outputs flow through
+        # fixed-shape transfers (groups of four 512s, or one 2048).
+        # rowmap[packed row] = row index within the concatenated transfers.
+        chunks = []  # (out_handle, packed_lo, n_valid, rows)
+        use_big = self.big_ready
         for lo_row, hi_row, lw in class_rows:
             lo = lo_row
-            if hi_row <= lo_row:
-                continue
-            for b in _row_chunks(hi_row - lo_row):
-                n = min(b, max(hi_row - lo, 0))
+            while lo < hi_row:
+                left = hi_row - lo
+                if use_big and left >= BIG_BUCKET:
+                    b = BIG_BUCKET
+                else:
+                    b = _row_chunks(left)[0]
+                n = min(b, left)
                 bx = np.full((b, ROW_W), -1, np.int32)
                 bi = np.full((b, ROW_W), -1, np.int32)
-                if n:
-                    bx[:n] = px[lo : lo + n]
-                    bi[:n] = pinit[lo : lo + n]
+                bx[:n] = px[lo : lo + n]
+                bi[:n] = pinit[lo : lo + n]
                 out = self._device_pass(jnp.asarray(bx), jnp.asarray(bi), lw)
-                outs.append(out)
-                rowmap[lo : lo + n] = n_chunks * b + np.arange(n, dtype=np.int32)
-                n_chunks += 1
+                chunks.append((out, lo, n, b))
                 lo += n
+        rowmap = np.zeros(max(R, 1), np.int32)
         pending = []
-        for g in range(0, len(outs), GROUP_CHUNKS):
-            grp = outs[g : g + GROUP_CHUNKS]
-            while len(grp) < GROUP_CHUNKS:
-                grp.append(outs[0])
-            hcat = jnp.concatenate(grp, axis=0)
+        dev = 0
+        i = 0
+        while i < len(chunks):
+            out, plo, n, b = chunks[i]
+            if b == BIG_BUCKET:
+                rowmap[plo : plo + n] = dev + np.arange(n, dtype=np.int32)
+                dev += b
+                hcat = out
+                i += 1
+            else:
+                grp = []
+                while (i < len(chunks) and chunks[i][3] != BIG_BUCKET
+                       and len(grp) < GROUP_CHUNKS):
+                    oo, pl, nn, bb = chunks[i]
+                    grp.append(oo)
+                    rowmap[pl : pl + nn] = dev + np.arange(nn, dtype=np.int32)
+                    dev += bb
+                    i += 1
+                dev += (GROUP_CHUNKS - len(grp)) * PACK_ROWS
+                while len(grp) < GROUP_CHUNKS:
+                    grp.append(grp[0])
+                hcat = jnp.concatenate(grp, axis=0)
             try:
                 hcat.copy_to_host_async()
             except Exception:
@@ -461,14 +483,48 @@ class WordPieceHybrid:
             ids[bounds[i] : bounds[i + 1]].tolist() for i in range(len(docs))
         ]
 
-    def warm(self, buckets=ROW_BUCKETS):
+    def warm(self, buckets=ROW_BUCKETS, background_big: bool = True):
+        """Progressive warm (see runtime/dedup.py::UnitRunner.warm): the
+        512-row programs load eagerly, the 2048-row set in a daemon
+        thread; dispatch upgrades large regions once they are live."""
+        import threading
+
         import jax.numpy as jnp
+
+        def one(b, cap_len):
+            bx = np.full((b, ROW_W), -1, np.int32)
+            np.asarray(
+                self._device_pass(
+                    jnp.asarray(bx), jnp.asarray(bx), cap_len + 2
+                )
+            )
 
         for cap_len in LW_CLASSES:
             for b in buckets:
-                bx = np.full((b, ROW_W), -1, np.int32)
-                np.asarray(
-                    self._device_pass(
-                        jnp.asarray(bx), jnp.asarray(bx), cap_len + 2
-                    )
-                )
+                one(b, cap_len)
+
+        if background_big and not self.big_ready:
+            def load_big():
+                try:
+                    for cap_len in LW_CLASSES:
+                        one(BIG_BUCKET, cap_len)
+                    self.big_ready = True
+                except Exception:
+                    pass
+
+            t = threading.Thread(target=load_big, daemon=True)
+            t.start()
+            self._big_thread = t
+
+    def warm_all(self):
+        """Blocking warm of both bucket sets (benchmarks)."""
+        import jax.numpy as jnp
+
+        self.warm(background_big=False)
+        for cap_len in LW_CLASSES:
+            bx = np.full((BIG_BUCKET, ROW_W), -1, np.int32)
+            np.asarray(
+                self._device_pass(jnp.asarray(bx), jnp.asarray(bx),
+                                  cap_len + 2)
+            )
+        self.big_ready = True
