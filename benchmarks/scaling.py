@@ -168,18 +168,26 @@ def main():
         # single-chip batch sweep through the PRODUCTION pipeline
         # (encode_corpus_flat: native prep/dedup, length-classed bucketed
         # dispatches, async d2h, native stitch)
-        tok._unit_runner().warm()
+        runner = tok._unit_runner()
+        runner.warm()
+        # measure steady state: wait for the background-loaded 2048-row
+        # programs so no sweep point contends with the loader thread
+        bt = getattr(runner, "_big_thread", None)
+        if bt is not None:
+            bt.join(timeout=180)
         sweep = {}
         for b in [int(x) for x in args.batches.split(",")]:
             docs = corpus_lines(b, seed=12)
             tok.encode_corpus_flat(docs, batch_docs=1 << 17)  # compile/warm
             iters = 4
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                ids, bounds = tok.encode_corpus_flat(docs, batch_docs=1 << 17)
-            dt = (time.perf_counter() - t0) / iters
+            best = float("inf")
+            for _trial in range(2):  # best of 2: the tunnel stalls sporadically
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    ids, bounds = tok.encode_corpus_flat(docs, batch_docs=1 << 17)
+                best = min(best, (time.perf_counter() - t0) / iters)
             total_bytes = sum(len(d) for d in docs)
-            sweep[b] = total_bytes / dt
+            sweep[b] = total_bytes / best
             print(f"batch={b:6d}  {sweep[b] / 1e6:8.2f} MB/s  "
                   f"tokens={len(ids)}")
         out["batch_sweep_mb_s"] = {k: round(v / 1e6, 2) for k, v in sweep.items()}
